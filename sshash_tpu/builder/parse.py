@@ -1,0 +1,129 @@
+"""Input parsing for the builder: FASTA / cf_seg, optionally gzipped, with
+optional per-kmer weights in headers.
+
+Mirrors reference semantics (src/builder/encode_strings.cpp:44-261):
+  * FASTA build inputs are 2-line records: '>header' then one sequence line.
+  * cf_seg lines are '<id>\t<sequence>'.
+  * weighted headers: '>[id] LN:i:[len] ab:Z:[w0] [w1] ...' with len-k+1
+    weights; weight RLE intervals run across sequence boundaries
+    (encode_strings.cpp:119-132).
+"""
+
+import gzip
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import kmer as K
+
+
+@dataclass
+class ParsedInput:
+    codes: np.ndarray  # uint8 2-bit codes, all sequences concatenated
+    endpoints: np.ndarray  # uint64[num_sequences + 1] char offsets, [0] = 0
+    num_kmers: int
+    max_len: int
+    # weighted mode only: weight RLE intervals over the kmer-id space
+    weight_interval_values: np.ndarray | None = None  # uint64[num_intervals]
+    weight_interval_lengths: np.ndarray | None = None  # uint64[num_intervals+1] cumulative, [0]=0
+    weight_counts: dict = field(default_factory=dict)  # weight value -> frequency
+
+
+def _open(path):
+    if str(path).endswith(".gz"):
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
+def _parse_weighted_header(line, k):
+    """'>id LN:i:len ab:Z:w0 w1 ...' -> (seq_len, weights list)."""
+    if not line.startswith(b">"):
+        raise ValueError(f"expected '>' got {line[:1]!r}")
+    parts = line.split(b" ")
+    ln = next(p for p in parts if p.startswith(b"LN:i:"))
+    seq_len = int(ln[5:])
+    idx = line.index(b"ab:Z:") + 5
+    weights = np.array(line[idx:].split(), dtype=np.uint64)
+    if len(weights) != seq_len - k + 1:
+        raise ValueError("weight sequence length mismatch")
+    return seq_len, weights
+
+
+def parse_input(path, k, weighted=False):
+    """Parse a build input file into concatenated 2-bit codes + boundaries."""
+    fmt_cf_seg = str(path).endswith((".cf_seg", ".cf_seg.gz"))
+
+    chunks = []
+    lengths = []
+    num_kmers = 0
+    max_len = 0
+
+    wvals = []
+    wlens = [0]
+    wcounts = {}
+    cur_val = None
+    cur_len = 0
+
+    with _open(path) as f:
+        while True:
+            header = f.readline()
+            if not header:
+                break
+            header = header.rstrip(b"\r\n")
+            if fmt_cf_seg:
+                # '<id>\t<seq>' on one line
+                if not header:
+                    continue
+                tab = header.index(b"\t")
+                seq = header[tab + 1 :]
+            else:
+                if not header:
+                    continue
+                if weighted:
+                    seq_len, weights = _parse_weighted_header(header, k)
+                    for w in weights:
+                        wi = int(w)
+                        wcounts[wi] = wcounts.get(wi, 0) + 1
+                        if wi == cur_val:
+                            cur_len += 1
+                        else:
+                            if cur_val is not None:
+                                wvals.append(cur_val)
+                                wlens.append(wlens[-1] + cur_len)
+                            cur_val = wi
+                            cur_len = 1
+                seq = f.readline().rstrip(b"\r\n")
+                if not seq:
+                    break
+            n = len(seq)
+            if n < k:
+                raise ValueError(f"sequence shorter than k: {n} < {k}")
+            codes, ok = K.encode_chars(seq)
+            if not ok.all():
+                bad = np.flatnonzero(~ok)[0]
+                raise ValueError(f"invalid character {chr(seq[bad])!r} in build input")
+            chunks.append(codes)
+            lengths.append(n)
+            num_kmers += n - k + 1
+            max_len = max(max_len, n)
+
+    if weighted and cur_val is not None:
+        wvals.append(cur_val)
+        wlens.append(wlens[-1] + cur_len)
+
+    if not chunks:
+        raise ValueError("empty input")
+
+    codes = np.concatenate(chunks)
+    endpoints = np.zeros(len(lengths) + 1, dtype=np.uint64)
+    np.cumsum(lengths, out=endpoints[1:])
+
+    return ParsedInput(
+        codes=codes,
+        endpoints=endpoints,
+        num_kmers=num_kmers,
+        max_len=max_len,
+        weight_interval_values=np.array(wvals, dtype=np.uint64) if weighted else None,
+        weight_interval_lengths=np.array(wlens, dtype=np.uint64) if weighted else None,
+        weight_counts=wcounts if weighted else {},
+    )

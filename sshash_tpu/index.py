@@ -1,0 +1,235 @@
+"""The SSHash-TPU index container (host side).
+
+Holds the dense arrays that the JAX query engine consumes. The layout keeps
+the reference's sparse-and-skew semantics exactly (reference:
+include/sparse_and_skew_index.hpp, include/spectrum_preserving_string_set.hpp)
+but stores everything as NumPy arrays that map 1:1 onto device uint32 buffers.
+
+Control codewords keep the reference bit format (uint64 here):
+  SINGLETON:  offset << 1 | 0                    (build_sparse_and_skew_index.cpp:119)
+  MIDLOAD:    ((list_id << 6 | size-2) << 2) | 1 (":208-211)
+  HEAVYLOAD:  ((begin << 3 | partition) << 2) | 3 (":225-227)
+"""
+
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import kmer as K
+from .constants import MIN_L, VERSION
+from .mphf import MPHF
+
+U64 = np.uint64
+U32 = np.uint32
+
+
+@dataclass
+class Weights:
+    """Run-length weight store (reference include/weights.hpp)."""
+
+    interval_value_ids: np.ndarray  # uint32[I] distinct-weight ids per interval
+    interval_endpoints: np.ndarray  # uint64[I+1] cumulative interval lengths, [0]=0
+    dictionary: np.ndarray  # uint64[D] distinct weights, freq-desc then value-asc
+
+    def weight(self, kmer_ids):
+        kmer_ids = np.asarray(kmer_ids, dtype=np.int64)
+        i = np.searchsorted(self.interval_endpoints, kmer_ids, side="right") - 1
+        return np.take(self.dictionary, np.take(self.interval_value_ids, i))
+
+    def num_bits(self):
+        # reference-format accounting: compact widths
+        d = len(self.dictionary)
+        wv = max(1, int(np.ceil(np.log2(max(2, int(self.dictionary.max()) + 1)))))
+        wid = max(1, int(np.ceil(np.log2(max(2, d)))))
+        n = int(self.interval_endpoints[-1])
+        ef = len(self.interval_endpoints) * (2 + max(1, int(np.ceil(np.log2(max(2, n))))))
+        return len(self.interval_value_ids) * wid + ef + d * wv
+
+
+@dataclass
+class SkewPartition:
+    mphf: MPHF  # kmer-keyed
+    positions: np.ndarray  # uint32[mphf.n] pos-in-bucket per kmer
+
+
+@dataclass
+class Index:
+    k: int
+    m: int
+    canonical: bool
+    seed: int
+    num_kmers: int
+    num_strings: int
+
+    # spectrum-preserving string set
+    strings64: np.ndarray  # uint64[NW] 2-bit packed, sentinel-padded
+    num_chars: int  # valid chars (= string_endpoints[-1])
+    string_endpoints: np.ndarray  # uint64[S+1]
+
+    # sparse + skew index
+    minimizer_mphf: MPHF
+    codewords: np.ndarray  # uint64[num_minimizers]
+    begin_buckets_of_size: np.ndarray  # uint32[2**MIN_L + 1]
+    mid_load_buckets: np.ndarray  # uint64[...] absolute char offsets
+    heavy_load_buckets: np.ndarray  # uint64[...]
+    skew_partitions: list  # list[SkewPartition], <= 8
+
+    weights: Weights | None = None
+
+    # build stats (space accounting in reference-format bits)
+    stats: dict = field(default_factory=dict)
+
+    # ------------------------------------------------------------ properties
+
+    @property
+    def num_minimizers(self):
+        return len(self.codewords)
+
+    @property
+    def kmer_words64(self):
+        return K.num_words64(self.k)
+
+    @property
+    def kmer_words32(self):
+        return (2 * self.k + 31) // 32
+
+    def string_size(self, string_id):
+        b, e = int(self.string_endpoints[string_id]), int(self.string_endpoints[string_id + 1])
+        return e - b - self.k + 1
+
+    # ------------------------------------------------------------ num_bits
+
+    def num_bits(self):
+        """Reference-format space accounting (compact widths), used by
+        print_space_breakdown for parity with src/info.cpp."""
+        nbo = self.stats.get("num_bits_per_offset", 64)
+        nbc = self.stats.get("num_bits_for_control", 64)
+        bits = 0
+        bits += self.minimizer_mphf.num_bits()
+        bits += len(self.codewords) * nbc
+        bits += len(self.mid_load_buckets) * nbo
+        bits += len(self.heavy_load_buckets) * nbo
+        bits += len(self.begin_buckets_of_size) * 32
+        # strings: 2 bits/char; offsets: Elias-Fano-ish estimate
+        bits += 2 * self.num_chars
+        s = len(self.string_endpoints)
+        bits += s * (2 + max(1, int(np.ceil(np.log2(max(2, self.num_chars / max(1, s)))))))
+        for p in self.skew_partitions:
+            bits += p.mphf.num_bits() + len(p.positions) * 32
+        if self.weights is not None:
+            bits += self.weights.num_bits()
+        return bits
+
+    # ------------------------------------------------------------ save / load
+
+    def save(self, path):
+        arrays = {
+            "strings64": self.strings64,
+            "string_endpoints": self.string_endpoints,
+            "codewords": self.codewords,
+            "begin_buckets_of_size": self.begin_buckets_of_size,
+            "mid_load_buckets": self.mid_load_buckets,
+            "heavy_load_buckets": self.heavy_load_buckets,
+            "mphf_pilots": self.minimizer_mphf.pilots,
+            "mphf_remap": self.minimizer_mphf.remap,
+        }
+        meta = {
+            "version": list(VERSION),
+            "k": self.k,
+            "m": self.m,
+            "canonical": self.canonical,
+            "seed": self.seed,
+            "num_kmers": self.num_kmers,
+            "num_strings": self.num_strings,
+            "num_chars": self.num_chars,
+            "mphf": _mphf_meta(self.minimizer_mphf),
+            "num_skew_partitions": len(self.skew_partitions),
+            "weighted": self.weights is not None,
+            "stats": self.stats,
+        }
+        skew_meta = []
+        for i, p in enumerate(self.skew_partitions):
+            arrays[f"skew_pilots_{i}"] = p.mphf.pilots
+            arrays[f"skew_remap_{i}"] = p.mphf.remap
+            arrays[f"skew_positions_{i}"] = p.positions
+            skew_meta.append(_mphf_meta(p.mphf))
+        meta["skew_mphfs"] = skew_meta
+        if self.weights is not None:
+            arrays["weights_value_ids"] = self.weights.interval_value_ids
+            arrays["weights_endpoints"] = self.weights.interval_endpoints
+            arrays["weights_dictionary"] = self.weights.dictionary
+        arrays["meta_json"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+        np.savez_compressed(path, **arrays)
+
+    @classmethod
+    def load(cls, path):
+        z = np.load(path)
+        meta = json.loads(bytes(z["meta_json"]).decode())
+        if meta["version"][0] != VERSION[0]:
+            raise RuntimeError("MAJOR index version mismatch: index needs rebuilding")
+        skew = []
+        for i, sm in enumerate(meta["skew_mphfs"]):
+            skew.append(
+                SkewPartition(
+                    mphf=_mphf_from_meta(sm, z[f"skew_pilots_{i}"], z[f"skew_remap_{i}"]),
+                    positions=z[f"skew_positions_{i}"],
+                )
+            )
+        weights = None
+        if meta["weighted"]:
+            weights = Weights(
+                interval_value_ids=z["weights_value_ids"],
+                interval_endpoints=z["weights_endpoints"],
+                dictionary=z["weights_dictionary"],
+            )
+        return cls(
+            k=meta["k"],
+            m=meta["m"],
+            canonical=meta["canonical"],
+            seed=meta["seed"],
+            num_kmers=meta["num_kmers"],
+            num_strings=meta["num_strings"],
+            strings64=z["strings64"],
+            num_chars=meta["num_chars"],
+            string_endpoints=z["string_endpoints"],
+            minimizer_mphf=_mphf_from_meta(meta["mphf"], z["mphf_pilots"], z["mphf_remap"]),
+            codewords=z["codewords"],
+            begin_buckets_of_size=z["begin_buckets_of_size"],
+            mid_load_buckets=z["mid_load_buckets"],
+            heavy_load_buckets=z["heavy_load_buckets"],
+            skew_partitions=skew,
+            weights=weights,
+            stats=meta.get("stats", {}),
+        )
+
+
+def _mphf_meta(f):
+    return {"n": f.n, "table_size": f.table_size, "num_buckets": f.num_buckets, "seed": f.seed}
+
+
+def _mphf_from_meta(meta, pilots, remap):
+    return MPHF(meta["n"], meta["table_size"], meta["num_buckets"], meta["seed"], pilots, remap)
+
+
+def decode_codeword(code):
+    """uint64 codeword -> (status, a, b) with the friendly decode:
+    SINGLETON: a=offset; MIDLOAD: a=(list_id, size) packed fields; HEAVY: a=begin, b=partition.
+    (vectorized; used when expanding to device arrays)"""
+    code = np.asarray(code, dtype=U64)
+    singleton = (code & U64(1)) == 0
+    midload = (code & U64(3)) == U64(1)
+    status = np.where(singleton, 0, np.where(midload, 1, 2)).astype(np.uint8)
+    # singleton
+    a = (code >> U64(1)).astype(U64)
+    b = np.zeros_like(code, dtype=U64)
+    # midload: size then list_id
+    mid_size = ((code >> U64(2)) & U64((1 << MIN_L) - 1)) + U64(2)
+    mid_list = code >> U64(2 + MIN_L)
+    a = np.where(midload, mid_list, a)
+    b = np.where(midload, mid_size, b)
+    # heavy: partition id + begin
+    heavy = status == 2
+    a = np.where(heavy, code >> U64(5), a)
+    b = np.where(heavy, (code >> U64(2)) & U64(7), b)
+    return status, a, b
