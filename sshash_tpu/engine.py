@@ -1,0 +1,413 @@
+"""JAX device query engine — batched, jitted, TPU-native.
+
+The index lives on device as a pytree of uint32 arrays; every query API is a
+large-batch array program:
+
+  * minimizer computation: unrolled window scan on the VPU (ops/packed.py);
+  * MPHF evaluation: 2 gathers + integer mixing (mphf.py docstring);
+  * codeword decode: pre-expanded at load into (status, a, b) arrays so the
+    device does one gather instead of bit-unpacking (semantics identical to
+    reference sparse_and_skew_index.hpp:112-137);
+  * candidate verification: a `lax.while_loop` over bucket slots, all lanes
+    masked — typical buckets resolve in 1-2 iterations;
+  * string-id resolution: vectorized searchsorted over string endpoints
+    (replaces Elias-Fano locate / binary search, offsets.hpp:41-65).
+
+64-bit quantities are (hi, lo) uint32 pairs (ops/u64.py) — no int64 on
+device. Char offsets / ids are uint32 (one shard handles < 2^32 chars; larger
+sets shard by minimizer across devices, see parallel/).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import hashing as H
+from . import kmer as K
+from .constants import BACKWARD_ORIENTATION, FORWARD_ORIENTATION, INVALID_UINT64
+from .ops import packed as P
+from .ops import u64 as u
+
+U32 = jnp.uint32
+I32 = jnp.int32
+INVALID32 = np.uint32(0xFFFFFFFF)
+_NUM_SKEW = 8
+
+
+def _device_arrays(index):
+    """Host Index -> device pytree (all uint32)."""
+    from .index import decode_codeword
+
+    status, a, b = decode_codeword(index.codewords)
+    # midload: precompute absolute begin into mid_load_buckets
+    mid = status == 1
+    msize = b.astype(np.int64)
+    mlist = a.astype(np.int64)
+    mbegin = index.begin_buckets_of_size[np.where(mid, msize, 0)].astype(np.int64) + mlist * msize
+    a = np.where(mid, mbegin.astype(np.uint64), a)
+
+    arrs = {
+        "strings32": K.pack_words_to_u32(index.strings64),
+        "endpoints": index.string_endpoints.astype(np.uint32),
+        "kmer_cum": (
+            index.string_endpoints.astype(np.int64)
+            - np.arange(len(index.string_endpoints)) * (index.k - 1)
+        ).astype(np.uint32),
+        "cw_status": status.astype(np.uint32),
+        "cw_a": a.astype(np.uint32),
+        "cw_b": b.astype(np.uint32),
+        "mid_load": _nz(index.mid_load_buckets.astype(np.uint32)),
+        "heavy_load": _nz(index.heavy_load_buckets.astype(np.uint32)),
+        "pilots": _nz(index.minimizer_mphf.pilots),
+        "remap": _nz(index.minimizer_mphf.remap),
+    }
+
+    # skew partitions: concatenated arrays + per-partition params (8 slots)
+    sk_pilots, sk_remap, sk_pos = [], [], []
+    params = {name: np.zeros(_NUM_SKEW, dtype=np.uint32) for name in
+              ("n", "table", "nbuckets", "seedmix_hi", "seedmix_lo",
+               "pilot_off", "remap_off", "pos_off")}
+    params["nbuckets"][:] = 1
+    params["table"][:] = 1
+    for i, part in enumerate(index.skew_partitions[:_NUM_SKEW]):
+        f = part.mphf
+        params["n"][i] = f.n
+        params["table"][i] = max(1, f.table_size)
+        params["nbuckets"][i] = f.num_buckets
+        smix = int(H.splitmix64(np.uint64(f.seed)))
+        params["seedmix_hi"][i] = smix >> 32
+        params["seedmix_lo"][i] = smix & 0xFFFFFFFF
+        params["pilot_off"][i] = sum(len(x) for x in sk_pilots)
+        params["remap_off"][i] = sum(len(x) for x in sk_remap)
+        params["pos_off"][i] = sum(len(x) for x in sk_pos)
+        sk_pilots.append(f.pilots)
+        sk_remap.append(f.remap)
+        sk_pos.append(part.positions)
+    arrs["sk_pilots"] = _nz(np.concatenate(sk_pilots) if sk_pilots else np.zeros(0, np.uint32))
+    arrs["sk_remap"] = _nz(np.concatenate(sk_remap) if sk_remap else np.zeros(0, np.uint32))
+    arrs["sk_positions"] = _nz(np.concatenate(sk_pos) if sk_pos else np.zeros(0, np.uint32))
+    for name, v in params.items():
+        arrs[f"sk_{name}"] = v
+
+    if index.weights is not None:
+        w = index.weights
+        arrs["w_value_ids"] = w.interval_value_ids.astype(np.uint32)
+        arrs["w_endpoints"] = w.interval_endpoints.astype(np.uint32)
+        arrs["w_dictionary"] = w.dictionary.astype(np.uint32)
+    return arrs
+
+
+def _nz(x):
+    """Never ship zero-length arrays to device (gathers clip into them)."""
+    return x if len(x) else np.zeros(1, dtype=x.dtype if hasattr(x, "dtype") else np.uint32)
+
+
+def _take(arr, idx):
+    return jnp.take(arr, idx.astype(I32), mode="clip")
+
+
+class StaticCfg:
+    """Hashable static config closed over by the jitted kernels."""
+
+    def __init__(self, index):
+        self.k = index.k
+        self.m = index.m
+        self.canonical = index.canonical
+        self.W = P.num_words32(index.k)
+        magic = int(H.mixer_magic(index.seed))
+        self.magic = magic
+        f = index.minimizer_mphf
+        self.mphf_n = f.n
+        self.mphf_table = max(1, f.table_size)
+        self.mphf_nbuckets = f.num_buckets
+        self.mphf_seedmix = int(H.splitmix64(np.uint64(f.seed)))
+        self.golden = [(i * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF for i in range(self.W)]
+        self.max_bucket_size = index.stats.get("max_bucket_size", 1 << 6)
+
+
+def mphf_eval_minimizer(cfg, arrs, minval):
+    """Batched minimizer-MPHF eval (see mphf.MPHF.eval_hashes)."""
+    mh = u.splitmix64(u.xor(minval, u.const64(cfg.mphf_seedmix)))
+    bucket = u.mulhi32(mh.hi, U32(cfg.mphf_nbuckets))
+    pilot = _take(arrs["pilots"], bucket)
+    slot = u.mulhi32(u.fmix32(mh.lo ^ u.fmix32(pilot)), U32(cfg.mphf_table))
+    over = slot >= U32(cfg.mphf_n)
+    remapped = _take(arrs["remap"], jnp.where(over, slot - U32(cfg.mphf_n), U32(0)))
+    return jnp.where(over, remapped, slot)
+
+
+def skew_eval(cfg, arrs, kmers32, cw_a, pid):
+    """HEAVYLOAD offset resolution via per-partition kmer MPHFs
+    (reference skew_index::lookup, sparse_and_skew_index.hpp:34-44)."""
+    seedmix = u.u64(_take(arrs["sk_seedmix_hi"], pid), _take(arrs["sk_seedmix_lo"], pid))
+    h = u.hash64_words(kmers32, seedmix, cfg.golden)
+    nb = _take(arrs["sk_nbuckets"], pid)
+    bucket = u.mulhi32(h.hi, nb)
+    pilot = _take(arrs["sk_pilots"], _take(arrs["sk_pilot_off"], pid) + bucket)
+    table = _take(arrs["sk_table"], pid)
+    n = _take(arrs["sk_n"], pid)
+    slot = u.mulhi32(u.fmix32(h.lo ^ u.fmix32(pilot)), table)
+    over = slot >= n
+    remapped = _take(arrs["sk_remap"],
+                     _take(arrs["sk_remap_off"], pid) + jnp.where(over, slot - n, U32(0)))
+    slot = jnp.where(over, remapped, slot)
+    pos_in_bucket = _take(arrs["sk_positions"], _take(arrs["sk_pos_off"], pid) + slot)
+    return _take(arrs["heavy_load"], cw_a + pos_in_bucket)
+
+
+def _empty_res(B):
+    return {
+        "kmer_id": jnp.full((B,), INVALID32, dtype=U32),
+        "kmer_id_in_string": jnp.full((B,), INVALID32, dtype=U32),
+        "kmer_offset": jnp.full((B,), INVALID32, dtype=U32),
+        "kmer_orientation": jnp.full((B,), FORWARD_ORIENTATION, dtype=I32),
+        "string_id": jnp.full((B,), INVALID32, dtype=U32),
+        "string_begin": jnp.full((B,), INVALID32, dtype=U32),
+        "string_end": jnp.full((B,), INVALID32, dtype=U32),
+        "minimizer_found": jnp.ones((B,), dtype=bool),
+    }
+
+
+def _resolve(cfg, arrs, res, found, match, ko, orient):
+    """searchsorted string resolution + in-string acceptance
+    (spss::_lookup_*, offsets.hpp locate)."""
+    k = cfg.k
+    off = jnp.where(match, ko, U32(0))
+    sid = jnp.searchsorted(arrs["endpoints"], off, side="right").astype(I32) - 1
+    sb = _take(arrs["endpoints"], sid)
+    se = _take(arrs["endpoints"], sid + 1)
+    accept = match & ~found & (off + U32(k - 1) < se)
+    res = dict(res)
+    res["kmer_offset"] = jnp.where(accept, off, res["kmer_offset"])
+    res["string_id"] = jnp.where(accept, sid.astype(U32), res["string_id"])
+    res["string_begin"] = jnp.where(accept, sb, res["string_begin"])
+    res["string_end"] = jnp.where(accept, se, res["string_end"])
+    res["kmer_id"] = jnp.where(accept, off - sid.astype(U32) * U32(k - 1), res["kmer_id"])
+    res["kmer_id_in_string"] = jnp.where(accept, off - sb, res["kmer_id_in_string"])
+    res["kmer_orientation"] = jnp.where(accept, orient, res["kmer_orientation"])
+    return res, found | accept
+
+
+def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
+    """Shared probe kernel. Regular mode: kmers_rc32 is None.
+    Canonical mode: candidates verified at two pos_in_kmer values against both
+    strands (spss:237-275). Returns result dict (+ 'found')."""
+    B = kmers32.shape[0]
+    k, m = cfg.k, cfg.m
+    canonical = kmers_rc32 is not None
+
+    ids = mphf_eval_minimizer(cfg, arrs, minval)
+    status = _take(arrs["cw_status"], ids)
+    cw_a = _take(arrs["cw_a"], ids)
+    cw_b = _take(arrs["cw_b"], ids)
+    heavy = status == 2
+    midload = status == 1
+    size = jnp.where(midload, cw_b, U32(1))
+    pid = jnp.where(heavy, cw_b, U32(0))
+
+    if canonical:
+        use_rc = P.kmer_less(kmers_rc32, kmers32)
+        canon = jnp.where(use_rc[:, None], kmers_rc32, kmers32)
+    else:
+        canon = kmers32
+    skew_off = skew_eval(cfg, arrs, canon, cw_a, pid)
+
+    res = _empty_res(B)
+    found = jnp.zeros((B,), dtype=bool)
+
+    minpos_u = minpos.astype(U32)
+    alt_pos = U32(k - m) - minpos_u  # canonical second try
+
+    def candidate(j_u32):
+        mid_cand = _take(arrs["mid_load"], cw_a + j_u32)
+        return jnp.where(status == 0, cw_a, jnp.where(heavy, skew_off, mid_cand))
+
+    def verify(res, found, cand, active):
+        if canonical:
+            for pos_try in (minpos_u, alt_pos):
+                ko = cand - pos_try
+                valid = active & ~found & (cand >= pos_try)
+                read = P.read_kmers_at(arrs["strings32"], jnp.where(valid, ko, U32(0)), k)
+                eq_f = P.kmer_equal(read, kmers32)
+                eq_r = P.kmer_equal(read, kmers_rc32)
+                match = valid & (eq_f | eq_r)
+                orient = jnp.where(eq_r & ~eq_f, I32(BACKWARD_ORIENTATION),
+                                   I32(FORWARD_ORIENTATION))
+                res, found = _resolve(cfg, arrs, res, found, match, ko, orient)
+        else:
+            ko = cand - minpos_u
+            valid = active & ~found & (cand >= minpos_u)
+            read = P.read_kmers_at(arrs["strings32"], jnp.where(valid, ko, U32(0)), k)
+            match = valid & P.kmer_equal(read, kmers32)
+            res, found = _resolve(cfg, arrs, res, found, match, ko,
+                                  jnp.full((B,), FORWARD_ORIENTATION, dtype=I32))
+        return res, found
+
+    # ---- candidate 0 (all statuses) + minimizer guard (spss:47-65)
+    cand0 = candidate(U32(0))
+    read_m = P.read_kmers_at(arrs["strings32"], jnp.where(active0, cand0, U32(0)), m)
+    read_mv = P.extract_window(read_m, 0, 2 * m)
+    guard_ok = u.equal(read_mv, minval)
+    if canonical:
+        rc_val = P.extract_window(P.revcomp_kmers(read_m, m), 0, 2 * m)
+        guard_ok = guard_ok | u.equal(rc_val, minval)
+    res["minimizer_found"] = jnp.where(active0 & ~guard_ok & ~heavy, False,
+                                       res["minimizer_found"])
+    res, found = verify(res, found, cand0, active0)
+
+    # ---- candidates 1.. (midload only): bounded while loop
+    def cond(state):
+        res, found, j = state
+        return jnp.any(active0 & ~found & midload & (j < size))
+
+    def body(state):
+        res, found, j = state
+        active = active0 & ~found & midload & (j < size)
+        res, found = verify(res, found, candidate(j), active)
+        return res, found, j + U32(1)
+
+    res, found, _ = jax.lax.while_loop(cond, body, (res, found, U32(1)))
+    res["found"] = found
+    return res
+
+
+def make_lookup(cfg):
+    """Top-level batched lookup kernel (src/dictionary.cpp:58-78 semantics)."""
+
+    def fn(arrs, kmers32):
+        B = kmers32.shape[0]
+        magic = u.const64(cfg.magic)
+        all_active = jnp.ones((B,), dtype=bool)
+
+        if cfg.canonical:
+            kmers_rc32 = P.revcomp_kmers(kmers32, cfg.k)
+            mv_f, mp_f = P.compute_minimizer(kmers32, cfg.k, cfg.m, magic)
+            mv_r, mp_r = P.compute_minimizer(kmers_rc32, cfg.k, cfg.m, magic)
+            rc_first = u.less(mv_r, mv_f)
+            tie = u.equal(mv_r, mv_f)
+            mv1 = u.select(rc_first, mv_r, mv_f)
+            mp1 = jnp.where(rc_first, mp_r, mp_f)
+            res = lookup_with_info(cfg, arrs, kmers32, kmers_rc32, mv1, mp1, all_active)
+
+            retry = tie & ~res["found"]
+
+            def do_retry(res):
+                res2 = lookup_with_info(cfg, arrs, kmers32, kmers_rc32, mv_r, mp_r, retry)
+                return _merge(res, res2, retry & res2["found"], retry)
+
+            res = jax.lax.cond(jnp.any(retry), do_retry, lambda r: r, res)
+        else:
+            mv, mp = P.compute_minimizer(kmers32, cfg.k, cfg.m, magic)
+            res = lookup_with_info(cfg, arrs, kmers32, None, mv, mp, all_active)
+
+            # RC fallback (src/dictionary.cpp:71-76), skipped when all found
+            miss = ~res["found"]
+
+            def do_rc(res):
+                kmers_rc32 = P.revcomp_kmers(kmers32, cfg.k)
+                mv_r, mp_r = P.compute_minimizer(kmers_rc32, cfg.k, cfg.m, magic)
+                res2 = lookup_with_info(cfg, arrs, kmers_rc32, None, mv_r, mp_r, miss)
+                res2["kmer_orientation"] = jnp.full_like(res2["kmer_orientation"],
+                                                         BACKWARD_ORIENTATION)
+                # minimizer_found combines for streaming (streaming_query.hpp:172-178)
+                merged = _merge(res, res2, miss & res2["found"], miss)
+                merged["minimizer_found"] = jnp.where(
+                    miss, res["minimizer_found"] | res2["minimizer_found"],
+                    res["minimizer_found"])
+                # reference sets backward orientation on the RC attempt even
+                # when it also misses (src/dictionary.cpp:71-76)
+                merged["kmer_orientation"] = jnp.where(
+                    miss, I32(BACKWARD_ORIENTATION), merged["kmer_orientation"])
+                return merged
+
+            res = jax.lax.cond(jnp.any(miss), do_rc, lambda r: r, res)
+        return res
+
+    return fn
+
+
+def _merge(res_a, res_b, use_b, use_b_flags):
+    out = {}
+    for key in res_a:
+        if key in ("minimizer_found",):
+            out[key] = jnp.where(use_b_flags, res_b[key], res_a[key])
+        elif key == "found":
+            out[key] = res_a[key] | (use_b & res_b[key])
+        else:
+            out[key] = jnp.where(use_b, res_b[key], res_a[key])
+    return out
+
+
+def make_access(cfg):
+    def fn(arrs, ids):
+        sid = jnp.searchsorted(arrs["kmer_cum"], ids, side="right").astype(I32) - 1
+        off = ids + sid.astype(U32) * U32(cfg.k - 1)
+        return P.read_kmers_at(arrs["strings32"], off, cfg.k)
+
+    return fn
+
+
+def make_weight(cfg):
+    def fn(arrs, ids):
+        i = jnp.searchsorted(arrs["w_endpoints"], ids, side="right").astype(I32) - 1
+        return _take(arrs["w_dictionary"], _take(arrs["w_value_ids"], i))
+
+    return fn
+
+
+class DeviceEngine:
+    """Device-resident index + jitted batched query entry points."""
+
+    def __init__(self, index, device=None):
+        self.index = index
+        self.cfg = StaticCfg(index)
+        host_arrs = _device_arrays(index)
+        self.arrs = {k2: jax.device_put(v, device) for k2, v in host_arrs.items()}
+        self._lookup = jax.jit(make_lookup(self.cfg))
+        self._access = jax.jit(make_access(self.cfg))
+        self._weight = jax.jit(make_weight(self.cfg)) if index.weights is not None else None
+
+    # ---- raw jitted entry points (device in/out)
+
+    def lookup_device(self, kmers32):
+        return self._lookup(self.arrs, kmers32)
+
+    def access_device(self, ids_u32):
+        return self._access(self.arrs, ids_u32)
+
+    # ---- numpy-convenience wrappers (u64 result semantics like the oracle)
+
+    def lookup(self, kmers64):
+        kmers64 = np.atleast_2d(np.asarray(kmers64, dtype=np.uint64))
+        kmers32 = K.kmers_to_u32(kmers64, self.cfg.k)
+        res = jax.tree.map(np.asarray, self.lookup_device(jnp.asarray(kmers32)))
+        return _to_host_result(res)
+
+    def access(self, ids):
+        ids = np.asarray(ids, dtype=np.uint32)
+        out32 = np.asarray(self.access_device(jnp.asarray(ids)))
+        return K.u32_to_kmers64(out32, self.cfg.k)
+
+    def weight(self, ids):
+        ids = np.asarray(ids, dtype=np.uint32)
+        return np.asarray(self._weight(self.arrs, jnp.asarray(ids))).astype(np.uint64)
+
+    def is_member(self, kmers64):
+        return self.lookup(kmers64)["kmer_id"] != np.uint64(INVALID_UINT64)
+
+
+def _to_host_result(res):
+    found = res.pop("found")
+    out = {}
+    for key, v in res.items():
+        if v.dtype == np.uint32:
+            v64 = v.astype(np.uint64)
+            v64[~found] = np.uint64(INVALID_UINT64)
+            out[key] = v64
+        elif key == "kmer_orientation":
+            out[key] = v.astype(np.int64)
+        else:
+            out[key] = v
+    return out

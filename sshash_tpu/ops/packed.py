@@ -1,0 +1,147 @@
+"""Device-side packed 2-bit string algebra (JAX, uint32 words).
+
+Device layout: char at global offset o lives in uint32 word o // 16 at bit
+offset 2*(o % 16) — the uint32 view of the host's little-endian uint64
+packing (kmer.py). Kmers are (B, W32) uint32, char j at word j//16 bit
+2*(j%16).
+
+The packed-string reads here replace the reference's kmer_iterator /
+util::read_kmer_at (include/kmer_iterator.hpp, util.hpp:248-257) with batched
+gathers + funnel shifts.
+"""
+
+import jax.numpy as jnp
+
+from . import u64 as u
+
+U32 = jnp.uint32
+
+
+def num_words32(k):
+    return (2 * k + 31) // 32
+
+
+def mask_last_word(words, k):
+    W = num_words32(k)
+    rem = 2 * k - 32 * (W - 1)
+    if rem == 32:
+        return words
+    mask = U32((1 << rem) - 1)
+    return words.at[..., W - 1].set(words[..., W - 1] & mask)
+
+
+def read_kmers_at(strings32, offsets, k):
+    """Gather k-char windows at `offsets` (uint32 (B,)) from the packed
+    strings (uint32 (NW,), sentinel-padded). Returns (B, W32) uint32."""
+    W = num_words32(k)
+    offsets = offsets.astype(U32)
+    widx = (offsets >> 4).astype(jnp.int32)
+    sh = (2 * (offsets & 15)).astype(U32)[:, None]
+    idx = widx[:, None] + jnp.arange(W + 1, dtype=jnp.int32)[None, :]
+    g = jnp.take(strings32, idx, axis=0)  # (B, W+1)
+    lo = g[:, :W] >> sh
+    hi = jnp.where(sh == 0, U32(0), g[:, 1:] << ((U32(32) - sh) & U32(31)))
+    return mask_last_word(lo | hi, k)
+
+
+def extract_window(kmers32, bit, width_bits):
+    """Extract up to 64 bits starting at constant bit offset `bit` from packed
+    kmers (B, W). Returns u64 masked to width_bits."""
+    B, W = kmers32.shape
+    w, b = divmod(bit, 32)
+
+    def word(i):
+        if i < W:
+            return kmers32[:, i]
+        return jnp.zeros((B,), dtype=U32)
+
+    if b == 0:
+        lo = word(w)
+        hi = word(w + 1)
+    else:
+        lo = (word(w) >> b) | (word(w + 1) << (32 - b))
+        hi = (word(w + 1) >> b) | (word(w + 2) << (32 - b))
+    out = u.u64(hi, lo)
+    if width_bits < 64:
+        return u.and_(out, u.const64((1 << width_bits) - 1))
+    return out
+
+
+def compute_minimizer(kmers32, k, m, magic):
+    """Leftmost minimal mixer-hash m-mer per kmer (util.hpp:262-283).
+    magic: u64 scalar. Returns (val u64 (B,), pos int32 (B,))."""
+    B = kmers32.shape[0]
+    nw = k - m + 1
+    best_h = None
+    best_v = None
+    best_p = jnp.zeros((B,), dtype=jnp.int32)
+    for j in range(nw):
+        v = extract_window(kmers32, 2 * j, 2 * m)
+        h = u.mixer64(v, magic)
+        if best_h is None:
+            best_h, best_v = h, v
+        else:
+            upd = u.less(h, best_h)  # strict: leftmost wins ties
+            best_h = u.select(upd, h, best_h)
+            best_v = u.select(upd, v, best_v)
+            best_p = jnp.where(upd, jnp.int32(j), best_p)
+    return best_v, best_p
+
+
+def crc32_word(x):
+    """Reverse-complement 16 chars packed in a uint32 (device analog of
+    reference crc64, kmer.hpp:141-157)."""
+    c = x ^ U32(0xAAAAAAAA)
+    r = ((c & U32(0x0000FFFF)) << 16) | ((c & U32(0xFFFF0000)) >> 16)
+    r = ((r & U32(0x00FF00FF)) << 8) | ((r & U32(0xFF00FF00)) >> 8)
+    r = ((r & U32(0x0F0F0F0F)) << 4) | ((r & U32(0xF0F0F0F0)) >> 4)
+    r = ((r & U32(0x33333333)) << 2) | ((r & U32(0xCCCCCCCC)) >> 2)
+    return r
+
+
+def revcomp_kmers(kmers32, k):
+    """(B, W) -> reverse complement, same layout."""
+    W = kmers32.shape[-1]
+    rev = crc32_word(kmers32)[:, ::-1]
+    s = W * 32 - 2 * k
+    if s == 0:
+        return rev
+    out = rev >> s
+    out = out.at[:, :-1].set(out[:, :-1] | (rev[:, 1:] << (32 - s)))
+    return out
+
+
+def kmer_less(a, b):
+    """uint_kmer_t::operator< — integer compare, word W-1 most significant."""
+    W = a.shape[-1]
+    less = jnp.zeros(a.shape[:-1], dtype=bool)
+    decided = jnp.zeros(a.shape[:-1], dtype=bool)
+    for w in range(W - 1, -1, -1):
+        lt = a[..., w] < b[..., w]
+        gt = a[..., w] > b[..., w]
+        less = less | (~decided & lt)
+        decided = decided | lt | gt
+    return less
+
+
+def kmer_equal(a, b):
+    return (a == b).all(axis=-1)
+
+
+def drop_one_char(kmers32):
+    out = kmers32 >> 2
+    if kmers32.shape[-1] > 1:
+        out = out.at[..., :-1].set(out[..., :-1] | (kmers32[..., 1:] << 30))
+    return out
+
+
+def shift_up_one_char(kmers32, k):
+    out = kmers32 << 2
+    if kmers32.shape[-1] > 1:
+        out = out.at[..., 1:].set(out[..., 1:] | (kmers32[..., :-1] >> 30))
+    return mask_last_word(out, k)
+
+
+def set_char(kmers32, i, code):
+    w, b = divmod(2 * i, 32)
+    return kmers32.at[..., w].set(kmers32[..., w] | (U32(code) << b))

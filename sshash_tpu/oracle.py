@@ -275,6 +275,8 @@ def lookup(index, kmers64, check_reverse_complement=True):
             rc = K.revcomp_kmers(kmers64, index.k)
             res_rc = lookup_regular(index, rc)
             res_rc["kmer_orientation"] = np.full(len(kmers64), BACKWARD_ORIENTATION, dtype=np.int64)
+            # combined flag (what streaming needs, streaming_query.hpp:172-178)
+            res_rc["minimizer_found"] = res_rc["minimizer_found"] | res["minimizer_found"]
             res = _merge_results(res, res_rc, miss)
     return res
 

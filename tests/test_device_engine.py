@@ -1,0 +1,55 @@
+"""Device (JAX) engine parity vs the NumPy oracle — the 'fast path must equal
+slow path' pattern of the reference (streaming_query.hpp:107)."""
+
+import numpy as np
+import pytest
+
+from sshash_tpu import kmer as K
+from sshash_tpu.engine import DeviceEngine
+
+
+def _parity(d, eng, q, rng):
+    res_o = d.lookup(q)
+    res_d = eng.lookup(q)
+    for key in res_o:
+        assert np.array_equal(np.asarray(res_o[key]), np.asarray(res_d[key])), key
+
+
+@pytest.fixture(scope="module")
+def eng_k31(dict_k31):
+    return DeviceEngine(dict_k31.index)
+
+
+def test_device_positive_and_rc(dict_k31, eng_k31, rng):
+    ids = rng.integers(0, dict_k31.num_kmers(), size=8192)
+    kms = dict_k31.access(ids)
+    rc_mask = rng.random(len(ids)) < 0.5
+    kms[rc_mask] = K.revcomp_kmers(kms[rc_mask], 31)
+    _parity(dict_k31, eng_k31, kms, rng)
+
+
+def test_device_negative(dict_k31, eng_k31, rng):
+    neg = rng.integers(0, 1 << 62, size=8192, dtype=np.uint64).reshape(-1, 1)
+    _parity(dict_k31, eng_k31, neg, rng)
+
+
+def test_device_access(dict_k31, eng_k31, rng):
+    ids = rng.integers(0, dict_k31.num_kmers(), size=8192)
+    assert np.array_equal(dict_k31.access(ids), eng_k31.access(ids.astype(np.uint32)))
+
+
+def test_device_canonical(dict_k31_canonical, rng):
+    eng = DeviceEngine(dict_k31_canonical.index)
+    ids = rng.integers(0, dict_k31_canonical.num_kmers(), size=8192)
+    kms = dict_k31_canonical.access(ids)
+    rc_mask = rng.random(len(ids)) < 0.5
+    kms[rc_mask] = K.revcomp_kmers(kms[rc_mask], 31)
+    _parity(dict_k31_canonical, eng, kms, rng)
+    neg = rng.integers(0, 1 << 62, size=4096, dtype=np.uint64).reshape(-1, 1)
+    _parity(dict_k31_canonical, eng, neg, rng)
+
+
+def test_device_weight(dict_weighted, rng):
+    eng = DeviceEngine(dict_weighted.index)
+    ids = rng.integers(0, dict_weighted.num_kmers(), size=8192)
+    assert np.array_equal(dict_weighted.weight(ids), eng.weight(ids))
