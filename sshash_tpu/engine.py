@@ -199,6 +199,13 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
     canonical = kmers_rc32 is not None
 
     ids = mphf_eval_minimizer(cfg, arrs, minval)
+    if "cw_lo" in arrs:
+        # codeword arrays are a contiguous MPHF-slot range on this shard
+        # (parallel/sharded.py); lanes whose minimizer hashes elsewhere go
+        # inactive here and are answered by the owning shard.
+        owner = (ids >= arrs["cw_lo"]) & (ids < arrs["cw_hi"])
+        active0 = active0 & owner
+        ids = jnp.where(owner, ids - arrs["cw_lo"], U32(0))
     status = _take(arrs["cw_status"], ids)
     cw_a = _take(arrs["cw_a"], ids)
     cw_b = _take(arrs["cw_b"], ids)

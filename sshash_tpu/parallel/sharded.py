@@ -1,0 +1,226 @@
+"""Multi-chip sharded query engine (jax.sharding.Mesh + shard_map).
+
+The reference is strictly single-node single-thread at query time
+(reference: benchmarks/README.md:22 "Queries were run using one thread");
+this module is the TPU-native scale-out story promised by SURVEY.md §2.5:
+
+  * axis ``data``  — pure data parallelism over the query batch (reads are
+    independent; the DP analogue).
+  * axis ``bucket`` — the control codewords (the dominant index component,
+    ~5.1 of 8.67 bits/kmer on human, BASELINE.md) are sharded by contiguous
+    MPHF-slot range. Each device answers only the lanes whose minimizer
+    hashes into its range (an EP-style layout: the MPHF slot *is* a hash
+    range, so sharding aligns with PTHash partitions); per-lane results are
+    combined with ``lax.pmin``/``pmax`` over ICI. Strings and the small
+    side arrays stay replicated in round 1.
+
+Everything is branch-free across shards: the regular-mode RC fallback and
+the canonical tie-retry are computed as unconditionally-masked probes
+instead of `lax.cond`s, because "found" is only known after the cross-shard
+combine.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # jax >= 0.4.35 exports shard_map at top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from .. import kmer as K
+from ..constants import BACKWARD_ORIENTATION, FORWARD_ORIENTATION
+from ..engine import (
+    StaticCfg,
+    _device_arrays,
+    _empty_res,
+    _to_host_result,
+    lookup_with_info,
+)
+from ..ops import packed as Pk
+from ..ops import u64 as u
+
+U32 = jnp.uint32
+I32 = jnp.int32
+
+_CW_KEYS = ("cw_status", "cw_a", "cw_b")
+# combine rule per result field over the bucket axis: non-owner shards hold
+# the identity (INVALID32 = all-ones for "min" fields, False for "max").
+_MIN_FIELDS = ("kmer_id", "kmer_id_in_string", "kmer_offset", "string_id",
+               "string_begin", "string_end")
+
+
+def make_mesh(shape=None, axis_names=("data", "bucket"), devices=None):
+    """Default 2D mesh over all local devices: bucket axis of 2 when
+    possible, the rest data-parallel."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if shape is None:
+        b = 2 if n % 2 == 0 and n >= 2 else 1
+        shape = (n // b, b)
+    return Mesh(devices.reshape(shape), axis_names)
+
+
+def _combine_bucket(res, axis):
+    """Merge per-shard masked results over the bucket axis."""
+    out = {}
+    for key, v in res.items():
+        if key in _MIN_FIELDS:
+            out[key] = jax.lax.pmin(v, axis)
+        elif key == "kmer_orientation":
+            out[key] = jax.lax.pmin(v, axis)  # default FORWARD=1 >= owner's
+        elif key == "minimizer_found":
+            out[key] = jax.lax.pmin(v.astype(I32), axis).astype(bool)
+        elif key == "found":
+            out[key] = jax.lax.pmax(v.astype(I32), axis).astype(bool)
+        else:
+            out[key] = v
+    return out
+
+
+def _merge_pref_a(res_a, res_b, use_b, use_b_flags):
+    """res_a unless (use_b); minimizer_found follows use_b_flags
+    (mirrors engine._merge, semantics of src/dictionary.cpp:64-78)."""
+    out = {}
+    for key in res_a:
+        if key == "minimizer_found":
+            out[key] = jnp.where(use_b_flags, res_b[key], res_a[key])
+        elif key == "found":
+            out[key] = res_a[key] | (use_b & res_b[key])
+        else:
+            out[key] = jnp.where(use_b, res_b[key], res_a[key])
+    return out
+
+
+def make_sharded_lookup(cfg, per_shard, data_axis="data", bucket_axis="bucket"):
+    """Branch-free multi-shard lookup body (to be wrapped in shard_map).
+
+    per_shard: static codeword-range length owned by each bucket shard.
+    """
+
+    def body(arrs, kmers32):
+        lo = jax.lax.axis_index(bucket_axis).astype(U32) * U32(per_shard)
+        arrs = dict(arrs)
+        arrs["cw_lo"] = lo
+        arrs["cw_hi"] = lo + U32(per_shard)
+
+        B = kmers32.shape[0]
+        magic = u.const64(cfg.magic)
+        all_active = jnp.ones((B,), dtype=bool)
+
+        if cfg.canonical:
+            kmers_rc32 = Pk.revcomp_kmers(kmers32, cfg.k)
+            mv_f, mp_f = Pk.compute_minimizer(kmers32, cfg.k, cfg.m, magic)
+            mv_r, mp_r = Pk.compute_minimizer(kmers_rc32, cfg.k, cfg.m, magic)
+            rc_first = u.less(mv_r, mv_f)
+            tie = u.equal(mv_r, mv_f)
+            mv1 = u.select(rc_first, mv_r, mv_f)
+            mp1 = jnp.where(rc_first, mp_r, mp_f)
+            res1 = _combine_bucket(
+                lookup_with_info(cfg, arrs, kmers32, kmers_rc32, mv1, mp1, all_active),
+                bucket_axis)
+            # tie retry, unconditionally masked (engine.make_lookup does this
+            # under lax.cond; here found is only global after the combine)
+            res2 = _combine_bucket(
+                lookup_with_info(cfg, arrs, kmers32, kmers_rc32, mv_r, mp_r, tie),
+                bucket_axis)
+            retry = tie & ~res1["found"]
+            res = _merge_pref_a(res1, res2, retry & res2["found"], retry)
+        else:
+            mv, mp = Pk.compute_minimizer(kmers32, cfg.k, cfg.m, magic)
+            res1 = _combine_bucket(
+                lookup_with_info(cfg, arrs, kmers32, None, mv, mp, all_active),
+                bucket_axis)
+            kmers_rc32 = Pk.revcomp_kmers(kmers32, cfg.k)
+            mv_r, mp_r = Pk.compute_minimizer(kmers_rc32, cfg.k, cfg.m, magic)
+            res2 = _combine_bucket(
+                lookup_with_info(cfg, arrs, kmers_rc32, None, mv_r, mp_r, all_active),
+                bucket_axis)
+            miss = ~res1["found"]
+            res = _merge_pref_a(res1, res2, miss & res2["found"], miss)
+            res["minimizer_found"] = jnp.where(
+                miss, res1["minimizer_found"] | res2["minimizer_found"],
+                res1["minimizer_found"])
+            # reference leaves BACKWARD orientation after an RC attempt even
+            # on a miss (src/dictionary.cpp:71-76)
+            res["kmer_orientation"] = jnp.where(
+                miss, I32(BACKWARD_ORIENTATION), res["kmer_orientation"])
+
+        # per-step report, psum'd over the data axis (SURVEY.md §2.5: the
+        # streaming_query_report counters merge via psum)
+        report = {
+            "num_kmers": jax.lax.psum(jnp.full((), B, dtype=U32), data_axis),
+            "num_positive": jax.lax.psum(res["found"].sum().astype(U32), data_axis),
+        }
+        return res, report
+
+    return body
+
+
+class ShardedEngine:
+    """Index sharded/replicated over a Mesh + jitted collective lookup.
+
+    Layout: codeword arrays P(bucket); query batch P(data); everything else
+    replicated. Results come back sharded over data, replicated over bucket.
+    """
+
+    def __init__(self, index, mesh=None):
+        self.index = index
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.cfg = StaticCfg(index)
+        data_axis, bucket_axis = self.mesh.axis_names
+        nb = self.mesh.shape[bucket_axis]
+
+        host = _device_arrays(index)
+        n_cw = len(host["cw_status"])
+        per_shard = -(-n_cw // nb)
+        for key in _CW_KEYS:
+            arr = host[key]
+            padded = np.zeros(per_shard * nb, dtype=arr.dtype)
+            padded[: len(arr)] = arr
+            host[key] = padded
+        self.per_shard = per_shard
+
+        in_specs = {}
+        self.arrs = {}
+        for key, arr in host.items():
+            spec = P(bucket_axis) if key in _CW_KEYS else P()
+            in_specs[key] = spec
+            self.arrs[key] = jax.device_put(arr, NamedSharding(self.mesh, spec))
+
+        body = make_sharded_lookup(self.cfg, per_shard, data_axis, bucket_axis)
+        res_spec = {k2: P(data_axis) for k2 in list(_empty_res(1)) + ["found"]}
+        rep_spec = {"num_kmers": P(), "num_positive": P()}
+        self._lookup = jax.jit(
+            shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=(in_specs, P(data_axis, None)),
+                out_specs=(res_spec, rep_spec),
+                check_vma=False,
+            )
+        )
+        self._kmer_sharding = NamedSharding(self.mesh, P(data_axis, None))
+        self._batch_multiple = self.mesh.shape[data_axis]
+
+    def lookup_device(self, kmers32):
+        return self._lookup(self.arrs, kmers32)
+
+    def lookup(self, kmers64):
+        """NumPy convenience wrapper; pads the batch to the data-axis size."""
+        kmers64 = np.atleast_2d(np.asarray(kmers64, dtype=np.uint64))
+        n = len(kmers64)
+        mult = self._batch_multiple
+        pad = (-n) % mult
+        kmers32 = K.kmers_to_u32(kmers64, self.cfg.k)
+        if pad:
+            kmers32 = np.concatenate([kmers32, np.tile(kmers32[-1:], (pad, 1))])
+        dev = jax.device_put(jnp.asarray(kmers32), self._kmer_sharding)
+        res, report = self.lookup_device(dev)
+        res = jax.tree.map(np.asarray, res)
+        res = {key: v[:n] for key, v in res.items()}
+        return _to_host_result(res), jax.tree.map(int, report)

@@ -3,10 +3,17 @@ jax import, so sharding/multi-chip paths are exercised without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The image's sitecustomize registers the axon TPU tunnel and pins
+# jax_platforms to it; tests must run on the virtual 8-device CPU mesh
+# (fast compiles + multi-chip sharding coverage), so re-pin here before
+# any backend is used.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
