@@ -41,17 +41,24 @@ def main():
     kmers64[:half] = K.revcomp_kmers(kmers64[:half], index.k)
     kmers32 = jax.device_put(jnp.asarray(K.kmers_to_u32(kmers64, index.k)))
 
-    # warmup / compile
+    # timing note: block_until_ready does not truly block over the axon
+    # tunnel, so every timed iteration fetches a scalar reduction to force
+    # execution end-to-end.
+    reduced = jax.jit(lambda a, x: eng._lookup_fn(a, x)["kmer_id"].sum())
+
+    # warmup / compile + correctness
     res = eng.lookup_device(kmers32)
-    jax.block_until_ready(res)
     n_found = int(np.asarray(res["found"]).sum())
     assert n_found == B, f"expected all positive, found {n_found}/{B}"
+    want = int(np.asarray(res["kmer_id"]).astype(np.uint64).sum() & 0xFFFFFFFF)
+    s = int(np.asarray(reduced(eng.arrs, kmers32)))
+    assert s & 0xFFFFFFFF == want
 
     reps = 5
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(eng.lookup_device(kmers32))
+        np.asarray(reduced(eng.arrs, kmers32))
         best = min(best, time.perf_counter() - t0)
 
     lookups_per_s = B / best

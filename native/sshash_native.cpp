@@ -1,0 +1,136 @@
+// Native host-side hot loops for the sshash-tpu builder.
+//
+// The reference delegates minimal-perfect-hash construction to PTHash
+// (C++ submodule, reference: include/minimizers_control_map.hpp:7-34) and
+// runs its builder hot loops in C++/AVX2 (src/builder/encode_strings.cpp).
+// This file provides the equivalents for the TPU build: the MPHF pilot
+// search (bit-identical to sshash_tpu/mphf.py::_search) and a batched
+// minimizer scanner. Compiled with `make -C native` into libsshash_native.so
+// and loaded via ctypes (sshash_tpu/native.py); everything has a NumPy
+// fallback so the framework runs without it.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+static inline uint32_t fmix32(uint32_t x) {
+    x ^= x >> 16;
+    x *= 0x85EBCA6Bu;
+    x ^= x >> 13;
+    x *= 0xC2B2AE35u;
+    x ^= x >> 16;
+    return x;
+}
+
+static inline uint32_t mulhi32(uint32_t a, uint32_t b) {
+    return (uint32_t)(((uint64_t)a * (uint64_t)b) >> 32);
+}
+
+static inline uint64_t splitmix64(uint64_t x) {
+    x += 0x9E3779B97F4A7C15ull;
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ull;
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EBull;
+    return x ^ (x >> 31);
+}
+
+extern "C" {
+
+// Pilot search over size-desc-ordered buckets. Returns -1 on success, or
+// the index (into `order`) of the bucket that failed (in-bucket collision
+// or pilot space exhausted) — the caller re-seeds, mirroring
+// mphf.py::build_from_hashes.
+int64_t pilot_search(const uint32_t* lo,         // bucket-sorted lo32 hashes
+                     const int64_t* starts,      // per unique bucket
+                     const int64_t* counts,
+                     const int64_t* order,       // visit order (size desc)
+                     const int64_t* bucket_ids,  // unique bucket id per group
+                     int64_t nb,                 // number of unique buckets
+                     int64_t table_size,
+                     int64_t max_pilot,
+                     uint32_t* pilots,           // out, size num_buckets
+                     uint8_t* taken)             // scratch, size table_size
+{
+    const uint32_t ts = (uint32_t)table_size;
+    std::vector<uint32_t> slots;
+    for (int64_t oi = 0; oi < nb; ++oi) {
+        const int64_t bi = order[oi];
+        const int64_t s = starts[bi];
+        const int64_t c = counts[bi];
+        const uint32_t* blo = lo + s;
+        slots.resize(c);
+        if (c > 1) {  // identical lo32 hashes can never split: re-seed
+            std::vector<uint32_t> tmp(blo, blo + c);
+            std::sort(tmp.begin(), tmp.end());
+            if (std::adjacent_find(tmp.begin(), tmp.end()) != tmp.end()) return oi;
+        }
+        bool placed = false;
+        for (int64_t p = 0; p < max_pilot; ++p) {
+            const uint32_t fp = fmix32((uint32_t)p);
+            bool ok = true;
+            int64_t placed_upto = 0;
+            for (int64_t i = 0; i < c; ++i) {
+                const uint32_t slot = mulhi32(fmix32(blo[i] ^ fp), ts);
+                if (taken[slot]) { ok = false; break; }
+                taken[slot] = 1;  // also catches in-pilot duplicate slots
+                slots[i] = slot;
+                placed_upto = i + 1;
+            }
+            if (ok) {
+                pilots[bucket_ids[bi]] = (uint32_t)p;
+                placed = true;
+                break;
+            }
+            for (int64_t i = 0; i < placed_upto; ++i) taken[slots[i]] = 0;
+        }
+        if (!placed) return oi;
+    }
+    return -1;
+}
+
+// splitmix64 over an array (hash of uint64 keys with pre-mixed seed).
+void hash64_u64(const uint64_t* keys, int64_t n, uint64_t seed_mix,
+                uint64_t* out) {
+    for (int64_t i = 0; i < n; ++i) out[i] = splitmix64(keys[i] ^ seed_mix);
+}
+
+// Rolling minimizer scan over one 2-bit packed sequence.
+// seq: packed uint64 words (char j at word j/32, bits 2*(j%32)), length n
+// chars. For each of the n-k+1 kmers, writes the leftmost minimal
+// mixer-hash m-mer value and its position in the kmer
+// (bit-identical to util::compute_minimizer, reference util.hpp:262-283,
+// evaluated per window like minimizer_iterator's rescan).
+void minimizer_scan(const uint64_t* words, int64_t n, int64_t k, int64_t m,
+                    uint64_t magic, uint64_t* out_val, int32_t* out_pos) {
+    const int64_t num_kmers = n - k + 1;
+    const int64_t num_mmers = n - m + 1;
+    const uint64_t mask = (2 * m >= 64) ? ~0ull : ((1ull << (2 * m)) - 1);
+    std::vector<uint64_t> mm(num_mmers), mh(num_mmers);
+    for (int64_t j = 0; j < num_mmers; ++j) {
+        const int64_t bit = 2 * j;
+        const int64_t w = bit >> 6, b = bit & 63;
+        uint64_t v = words[w] >> b;
+        if (b) v |= words[w + 1] << (64 - b);
+        v &= mask;
+        mm[j] = v;
+        mh[j] = v * 0x517CC1B727220A95ull ^ magic;
+    }
+    // per-kmer leftmost argmin over windows [i, i+k-m]: O(n) amortized via
+    // monotone deque
+    std::vector<int64_t> dq(num_mmers);
+    int64_t head = 0, tail = 0;
+    const int64_t win = k - m + 1;
+    for (int64_t j = 0; j < num_mmers; ++j) {
+        // strict '<' keeps the leftmost occurrence on ties
+        while (tail > head && mh[j] < mh[dq[tail - 1]]) --tail;
+        dq[tail++] = j;
+        const int64_t i = j - win + 1;  // kmer index whose window ends at j
+        if (i >= 0) {
+            while (dq[head] < i) ++head;
+            out_val[i] = mm[dq[head]];
+            out_pos[i] = (int32_t)(dq[head] - i);
+        }
+    }
+}
+
+}  // extern "C"

@@ -48,8 +48,21 @@ def _device_arrays(index):
     mbegin = index.begin_buckets_of_size[np.where(mid, msize, 0)].astype(np.int64) + mlist * msize
     a = np.where(mid, mbegin.astype(np.uint64), a)
 
+    # valid-start bitmask: bit o set iff a kmer may start at char offset o,
+    # i.e. o+k <= end of o's string. Replaces the reference's per-candidate
+    # offset_to_id acceptance (spss::_lookup_regular:227-235) with one
+    # gather + bit test; ids resolve once after the candidate loop.
+    ep = index.string_endpoints.astype(np.int64)
+    delta = np.zeros(index.num_chars + 1, dtype=np.int32)
+    np.add.at(delta, ep[:-1], 1)
+    np.add.at(delta, ep[1:] - (index.k - 1), -1)
+    vstart = np.cumsum(delta[:-1]) > 0
+    vwords = np.packbits(vstart, bitorder="little")
+    vwords = np.pad(vwords, (0, (-len(vwords)) % 4 + 4)).view(np.uint32)
+
     arrs = {
         "strings32": K.pack_words_to_u32(index.strings64),
+        "vstart": vwords,
         "endpoints": index.string_endpoints.astype(np.uint32),
         "kmer_cum": (
             index.string_endpoints.astype(np.int64)
@@ -125,6 +138,8 @@ class StaticCfg:
         self.mphf_seedmix = int(H.splitmix64(np.uint64(f.seed)))
         self.golden = [(i * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF for i in range(self.W)]
         self.max_bucket_size = index.stats.get("max_bucket_size", 1 << 6)
+        # static: no skew partitions -> HEAVYLOAD never occurs, skip its kernel
+        self.has_skew = any(p.mphf.n > 0 for p in index.skew_partitions)
 
 
 def mphf_eval_minimizer(cfg, arrs, minval):
@@ -170,30 +185,29 @@ def _empty_res(B):
     }
 
 
-def _resolve(cfg, arrs, res, found, match, ko, orient):
-    """searchsorted string resolution + in-string acceptance
-    (spss::_lookup_*, offsets.hpp locate)."""
-    k = cfg.k
-    off = jnp.where(match, ko, U32(0))
-    sid = jnp.searchsorted(arrs["endpoints"], off, side="right").astype(I32) - 1
-    sb = _take(arrs["endpoints"], sid)
-    se = _take(arrs["endpoints"], sid + 1)
-    accept = match & ~found & (off + U32(k - 1) < se)
-    res = dict(res)
-    res["kmer_offset"] = jnp.where(accept, off, res["kmer_offset"])
-    res["string_id"] = jnp.where(accept, sid.astype(U32), res["string_id"])
-    res["string_begin"] = jnp.where(accept, sb, res["string_begin"])
-    res["string_end"] = jnp.where(accept, se, res["string_end"])
-    res["kmer_id"] = jnp.where(accept, off - sid.astype(U32) * U32(k - 1), res["kmer_id"])
-    res["kmer_id_in_string"] = jnp.where(accept, off - sb, res["kmer_id_in_string"])
-    res["kmer_orientation"] = jnp.where(accept, orient, res["kmer_orientation"])
-    return res, found | accept
+def _valid_start(arrs, ko):
+    """Bit test: may a kmer start at char offset ko? (one gather; equivalent
+    to the reference's per-candidate acceptance via offset_to_id,
+    spss::_lookup_regular:227-235)."""
+    w = _take(arrs["vstart"], ko >> U32(5))
+    return ((w >> (ko & U32(31))) & U32(1)) != 0
 
 
 def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
     """Shared probe kernel. Regular mode: kmers_rc32 is None.
     Canonical mode: candidates verified at two pos_in_kmer values against both
-    strands (spss:237-275). Returns result dict (+ 'found')."""
+    strands (spss:237-275). Returns result dict (+ 'found').
+
+    Structure (all static shapes):
+      1. one full-width probe of candidate 0 (resolves singletons, heavy via
+         the skew index, and the first slot of midload buckets), gated by the
+         minimizer guard — a failed guard proves no candidate can match
+         (spss:47-65), so guarded-out lanes probe nothing;
+      2. remaining (lane, candidate_j) probes are COMPACTED into a dense pair
+         buffer (work proportional to actual bucket content, not to
+         max_bucket x batch) and verified in fixed-width windows;
+      3. ids resolve once at the end with a single searchsorted.
+    """
     B = kmers32.shape[0]
     k, m = cfg.k, cfg.m
     canonical = kmers_rc32 is not None
@@ -214,46 +228,45 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
     size = jnp.where(midload, cw_b, U32(1))
     pid = jnp.where(heavy, cw_b, U32(0))
 
-    if canonical:
-        use_rc = P.kmer_less(kmers_rc32, kmers32)
-        canon = jnp.where(use_rc[:, None], kmers_rc32, kmers32)
+    if cfg.has_skew:
+        if canonical:
+            use_rc = P.kmer_less(kmers_rc32, kmers32)
+            canon = jnp.where(use_rc[:, None], kmers_rc32, kmers32)
+        else:
+            canon = kmers32
+        skew_off = skew_eval(cfg, arrs, canon, cw_a, pid)
     else:
-        canon = kmers32
-    skew_off = skew_eval(cfg, arrs, canon, cw_a, pid)
-
-    res = _empty_res(B)
-    found = jnp.zeros((B,), dtype=bool)
+        skew_off = cw_a  # heavy never true; keeps the select well-formed
 
     minpos_u = minpos.astype(U32)
     alt_pos = U32(k - m) - minpos_u  # canonical second try
 
-    def candidate(j_u32):
-        mid_cand = _take(arrs["mid_load"], cw_a + j_u32)
-        return jnp.where(status == 0, cw_a, jnp.where(heavy, skew_off, mid_cand))
-
-    def verify(res, found, cand, active):
-        if canonical:
-            for pos_try in (minpos_u, alt_pos):
-                ko = cand - pos_try
-                valid = active & ~found & (cand >= pos_try)
-                read = P.read_kmers_at(arrs["strings32"], jnp.where(valid, ko, U32(0)), k)
-                eq_f = P.kmer_equal(read, kmers32)
-                eq_r = P.kmer_equal(read, kmers_rc32)
-                match = valid & (eq_f | eq_r)
-                orient = jnp.where(eq_r & ~eq_f, I32(BACKWARD_ORIENTATION),
-                                   I32(FORWARD_ORIENTATION))
-                res, found = _resolve(cfg, arrs, res, found, match, ko, orient)
-        else:
-            ko = cand - minpos_u
-            valid = active & ~found & (cand >= minpos_u)
-            read = P.read_kmers_at(arrs["strings32"], jnp.where(valid, ko, U32(0)), k)
-            match = valid & P.kmer_equal(read, kmers32)
-            res, found = _resolve(cfg, arrs, res, found, match, ko,
-                                  jnp.full((B,), FORWARD_ORIENTATION, dtype=I32))
-        return res, found
+    def verify(cand, active, lane_kmers, lane_kmers_rc, pos, apos):
+        """One candidate per lane; returns (match, ko, orient)."""
+        match = jnp.zeros(cand.shape, dtype=bool)
+        bko = jnp.zeros(cand.shape, dtype=U32)
+        bor = jnp.full(cand.shape, FORWARD_ORIENTATION, dtype=I32)
+        for pos_try in (pos, apos) if canonical else (pos,):
+            ok = active & ~match & (cand >= pos_try)
+            ko = jnp.where(ok, cand - pos_try, U32(0))
+            ok &= _valid_start(arrs, ko)
+            read = P.read_kmers_at(arrs["strings32"], jnp.where(ok, ko, U32(0)), k)
+            if canonical:
+                eq_f = P.kmer_equal(read, lane_kmers)
+                eq_r = P.kmer_equal(read, lane_kmers_rc)
+                hit = ok & (eq_f | eq_r)
+                bor = jnp.where(hit, jnp.where(eq_r & ~eq_f, I32(BACKWARD_ORIENTATION),
+                                               I32(FORWARD_ORIENTATION)), bor)
+            else:
+                hit = ok & P.kmer_equal(read, lane_kmers)
+            bko = jnp.where(hit, ko, bko)
+            match = match | hit
+        return match, bko, bor
 
     # ---- candidate 0 (all statuses) + minimizer guard (spss:47-65)
-    cand0 = candidate(U32(0))
+    res = _empty_res(B)
+    mid0 = _take(arrs["mid_load"], cw_a)
+    cand0 = jnp.where(status == 0, cw_a, jnp.where(heavy, skew_off, mid0))
     read_m = P.read_kmers_at(arrs["strings32"], jnp.where(active0, cand0, U32(0)), m)
     read_mv = P.extract_window(read_m, 0, 2 * m)
     guard_ok = u.equal(read_mv, minval)
@@ -262,20 +275,81 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
         guard_ok = guard_ok | u.equal(rc_val, minval)
     res["minimizer_found"] = jnp.where(active0 & ~guard_ok & ~heavy, False,
                                        res["minimizer_found"])
-    res, found = verify(res, found, cand0, active0)
+    # a failed guard proves the bucket belongs to a different minimizer:
+    # no candidate can match (all are occurrences of that other m-mer)
+    active0 = active0 & (guard_ok | heavy)
+    found, bko, bor = verify(cand0, active0, kmers32, kmers_rc32, minpos_u, alt_pos)
 
-    # ---- candidates 1.. (midload only): bounded while loop
-    def cond(state):
-        res, found, j = state
-        return jnp.any(active0 & ~found & midload & (j < size))
+    # ---- candidates 1..size-1 (midload only): compacted pair sweep
+    PMAX = max(128, B // 8)  # pair-window width; multiple windows when exceeded
+    need = active0 & midload & ~found & (size > U32(1))
+    nprobe = jnp.where(need, size - U32(1), U32(0)).astype(jnp.int32)
+    ends = jnp.cumsum(nprobe)
+    starts = ends - nprobe
+    total = ends[-1]
 
-    def body(state):
-        res, found, j = state
-        active = active0 & ~found & midload & (j < size)
-        res, found = verify(res, found, candidate(j), active)
-        return res, found, j + U32(1)
+    # compacted lane list: lane_ids[rank] = lane (rank in start order)
+    rank = jnp.cumsum(need.astype(jnp.int32)) - 1
+    lane_ids = jnp.zeros((B,), dtype=jnp.int32).at[
+        jnp.where(need, rank, B)].set(jnp.arange(B, dtype=jnp.int32), mode="drop")
 
-    res, found, _ = jax.lax.while_loop(cond, body, (res, found, U32(1)))
+    def pair_window(w, carry):
+        found, bko, bor = carry
+        base = w * PMAX
+        slot = jnp.arange(PMAX, dtype=jnp.int32)
+        gid = base + slot
+        in_w = need & (ends > base) & (starts < base + PMAX)
+        local_start = jnp.clip(starts - base, 0, PMAX - 1)
+        marks = jnp.zeros((PMAX,), dtype=jnp.int32).at[
+            jnp.where(in_w, local_start, PMAX)].add(1, mode="drop")
+        rank_base = jnp.sum((need & (ends <= base)).astype(jnp.int32))
+        seg = jnp.cumsum(marks) - 1 + rank_base
+        lane = _take(lane_ids, jnp.clip(seg, 0, B - 1).astype(U32))
+        pvalid = gid < total
+        lane_u = lane.astype(U32)
+        j = (gid - _take(starts, lane_u)).astype(U32) + U32(1)
+        cand = _take(arrs["mid_load"], _take(cw_a, lane_u) + j)
+        lk = jnp.take(kmers32, lane, axis=0, mode="clip")
+        lkr = jnp.take(kmers_rc32, lane, axis=0, mode="clip") if canonical else None
+        pm, pko, por = verify(cand, pvalid, lk, lkr,
+                              _take(minpos_u, lane_u), _take(alt_pos, lane_u))
+        # at most one candidate per lane can match (kmers are distinct in the
+        # SPSS), so scatter-max combines are exact
+        hit = jnp.zeros((B,), dtype=U32).at[
+            jnp.where(pm, lane, B)].max(pko + U32(1), mode="drop")
+        orr = jnp.zeros((B,), dtype=I32).at[
+            jnp.where(pm, lane, B)].max(por + I32(2), mode="drop")
+        newly = hit > 0
+        bko = jnp.where(newly, hit - U32(1), bko)
+        bor = jnp.where(newly, orr - I32(2), bor)
+        found = found | newly
+        return found, bko, bor
+
+    num_windows = (total + PMAX - 1) // PMAX
+
+    def cond(carry):
+        w, _ = carry
+        return w < num_windows
+
+    def body(carry):
+        w, state = carry
+        return w + 1, pair_window(w, state)
+
+    _, (found, bko, bor) = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), (found, bko, bor)))
+
+    # ---- resolve ids once (offsets.hpp locate analog)
+    off = jnp.where(found, bko, U32(0))
+    sid = jnp.searchsorted(arrs["endpoints"], off, side="right").astype(I32) - 1
+    sb = _take(arrs["endpoints"], sid)
+    se = _take(arrs["endpoints"], sid + 1)
+    res["kmer_offset"] = jnp.where(found, off, res["kmer_offset"])
+    res["string_id"] = jnp.where(found, sid.astype(U32), res["string_id"])
+    res["string_begin"] = jnp.where(found, sb, res["string_begin"])
+    res["string_end"] = jnp.where(found, se, res["string_end"])
+    res["kmer_id"] = jnp.where(found, off - sid.astype(U32) * U32(k - 1), res["kmer_id"])
+    res["kmer_id_in_string"] = jnp.where(found, off - sb, res["kmer_id_in_string"])
+    res["kmer_orientation"] = jnp.where(found, bor, res["kmer_orientation"])
     res["found"] = found
     return res
 
@@ -372,7 +446,8 @@ class DeviceEngine:
         self.cfg = StaticCfg(index)
         host_arrs = _device_arrays(index)
         self.arrs = {k2: jax.device_put(v, device) for k2, v in host_arrs.items()}
-        self._lookup = jax.jit(make_lookup(self.cfg))
+        self._lookup_fn = make_lookup(self.cfg)
+        self._lookup = jax.jit(self._lookup_fn)
         self._access = jax.jit(make_access(self.cfg))
         self._weight = jax.jit(make_weight(self.cfg)) if index.weights is not None else None
 

@@ -123,6 +123,16 @@ class MPHF:
         ub, starts, counts = np.unique(bsorted, return_index=True, return_counts=True)
         bucket_order = np.argsort(-counts, kind="stable")
 
+        from . import native
+
+        if native.available():
+            out = native.pilot_search(lo_sorted, starts, counts, bucket_order,
+                                      ub, table_size, _MAX_PILOT, num_buckets)
+            if out is None:
+                raise MPHFBuildError("native pilot search failed (re-seed)")
+            pilots, taken = out
+            return cls._finish(n, table_size, num_buckets, seed, pilots, taken)
+
         taken = np.zeros(table_size, dtype=bool)
         pilots = np.zeros(num_buckets, dtype=U32)
         ts32 = U32(table_size)
@@ -156,6 +166,10 @@ class MPHF:
             if not placed:
                 raise MPHFBuildError("pilot search exhausted")
 
+        return cls._finish(n, table_size, num_buckets, seed, pilots, taken)
+
+    @classmethod
+    def _finish(cls, n, table_size, num_buckets, seed, pilots, taken):
         # minimal remap: taken slots >= n  ->  free slots < n
         if table_size > n:
             free_lt = np.flatnonzero(~taken[:n])

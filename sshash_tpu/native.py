@@ -1,0 +1,98 @@
+"""ctypes loader for the native builder hot loops (native/sshash_native.cpp).
+
+Compiles on demand with the repo Makefile (g++ is in the image; pybind11 is
+not, hence ctypes). Every native entry point has a NumPy fallback, so the
+framework works without a toolchain — the native path exists for build-time
+throughput parity with the reference's C++ builder (PTHash + AVX2 encode).
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_SO = os.path.join(_DIR, "libsshash_native.so")
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    try:
+        if not os.path.exists(_SO) or (
+            os.path.getmtime(_SO) < os.path.getmtime(os.path.join(_DIR, "sshash_native.cpp"))
+        ):
+            subprocess.run(["make", "-C", _DIR, "-s"], check=True, capture_output=True)
+        lib = ctypes.CDLL(_SO)
+        i64 = ctypes.c_int64
+        u64 = ctypes.c_uint64
+        p = ctypes.POINTER
+        lib.pilot_search.restype = i64
+        lib.pilot_search.argtypes = [
+            p(ctypes.c_uint32), p(i64), p(i64), p(i64), p(i64),
+            i64, i64, i64, p(ctypes.c_uint32), p(ctypes.c_uint8),
+        ]
+        lib.minimizer_scan.restype = None
+        lib.minimizer_scan.argtypes = [
+            p(u64), i64, i64, i64, u64, p(u64), p(ctypes.c_int32),
+        ]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def available():
+    return _load() is not None
+
+
+def _ptr(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def pilot_search(lo_sorted, starts, counts, order, bucket_ids, table_size,
+                 max_pilot, num_buckets):
+    """Returns (pilots uint32[num_buckets], taken bool[table_size]) or None
+    if the search failed (caller re-seeds)."""
+    lib = _load()
+    assert lib is not None
+    lo_sorted = np.ascontiguousarray(lo_sorted, dtype=np.uint32)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    bucket_ids = np.ascontiguousarray(bucket_ids, dtype=np.int64)
+    pilots = np.zeros(num_buckets, dtype=np.uint32)
+    taken = np.zeros(table_size, dtype=np.uint8)
+    rc = lib.pilot_search(
+        _ptr(lo_sorted, ctypes.c_uint32), _ptr(starts, ctypes.c_int64),
+        _ptr(counts, ctypes.c_int64), _ptr(order, ctypes.c_int64),
+        _ptr(bucket_ids, ctypes.c_int64), len(starts),
+        int(table_size), int(max_pilot),
+        _ptr(pilots, ctypes.c_uint32), _ptr(taken, ctypes.c_uint8),
+    )
+    if rc != -1:
+        return None
+    return pilots, taken.astype(bool)
+
+
+def minimizer_scan(words64, n_chars, k, m, magic):
+    """Per-kmer leftmost min-hash m-mer over one packed sequence.
+    Returns (values uint64[n-k+1], pos int32[n-k+1])."""
+    lib = _load()
+    assert lib is not None
+    words64 = np.ascontiguousarray(words64, dtype=np.uint64)
+    nk = n_chars - k + 1
+    out_val = np.empty(nk, dtype=np.uint64)
+    out_pos = np.empty(nk, dtype=np.int32)
+    lib.minimizer_scan(
+        _ptr(words64, ctypes.c_uint64), int(n_chars), int(k), int(m),
+        ctypes.c_uint64(int(magic)), _ptr(out_val, ctypes.c_uint64),
+        _ptr(out_pos, ctypes.c_int32),
+    )
+    return out_val, out_pos

@@ -1,0 +1,177 @@
+"""CLI multiplexer: build | query | check | bench | permute
+(reference tools/sshash.cpp:76-105 and tools/{build,query,permute}.cpp).
+
+Usage: python -m sshash_tpu <subcommand> [flags]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _add_build(sub):
+    p = sub.add_parser("build", help="build an index from FASTA/cf_seg (tools/build.cpp)")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-k", type=int, required=True)
+    p.add_argument("-m", type=int, required=True)
+    p.add_argument("-s", "--seed", type=int, default=None)
+    p.add_argument("-o", "--output", default=None, help="serialize index to this .npz path")
+    p.add_argument("--canonical", action="store_true")
+    p.add_argument("--weighted", action="store_true")
+    p.add_argument("--check", action="store_true", help="run the full check suite after building")
+    p.add_argument("--verbose", action="store_true")
+
+
+def _add_query(sub):
+    p = sub.add_parser("query", help="streaming membership queries (tools/query.cpp)")
+    p.add_argument("-i", "--index", required=True)
+    p.add_argument("-q", "--query", required=True, help="FASTA/FASTQ file, optionally .gz")
+    p.add_argument("--multiline", action="store_true")
+    p.add_argument("--host", action="store_true",
+                   help="use the NumPy host engine instead of the jitted device engine")
+
+
+def _add_check(sub):
+    p = sub.add_parser("check", help="exhaustive self-consistency checks (test/check.hpp)")
+    p.add_argument("-i", "--index", required=True)
+
+
+def _add_bench(sub):
+    p = sub.add_parser("bench", help="perf test lookup/access/iterator (tools/perf.hpp)")
+    p.add_argument("-i", "--index", required=True)
+    p.add_argument("--batch", type=int, default=1 << 20)
+    p.add_argument("--runs", type=int, default=5)
+    p.add_argument("--host", action="store_true", help="bench the NumPy host engine instead")
+
+
+def _add_permute(sub):
+    p = sub.add_parser("permute", help="weight-run minimizing permutation (tools/permute.cpp)")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-k", type=int, required=True)
+    p.add_argument("-o", "--output", required=True, help="permuted FASTA output path")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="sshash-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for add in (_add_build, _add_query, _add_check, _add_bench, _add_permute):
+        add(sub)
+    args = ap.parse_args(argv)
+    return {
+        "build": _build,
+        "query": _query,
+        "check": _check,
+        "bench": _bench,
+        "permute": _permute,
+    }[args.cmd](args)
+
+
+def _build(args):
+    from ..builder.build import BuildConfig
+    from ..constants import SEED
+    from ..dictionary import Dictionary
+
+    cfg = BuildConfig(k=args.k, m=args.m, seed=args.seed if args.seed is not None else SEED,
+                      canonical=args.canonical, weighted=args.weighted, verbose=args.verbose)
+    d = Dictionary.build(args.input, cfg)
+    d.print_info()
+    if args.check:
+        from ..check import check_all
+
+        check_all(d, verbose=args.verbose)
+        print("check: OK")
+    if args.output:
+        d.save(args.output)
+        print(f"saved index to {args.output}")
+    return 0
+
+
+def _query(args):
+    from ..dictionary import Dictionary
+
+    from ..streaming import streaming_query_from_file
+
+    d = Dictionary.load(args.index)
+    rep = streaming_query_from_file(d, args.query, multiline=args.multiline,
+                                    use_device=not args.host)
+    pos, tot = rep["num_positive_kmers"], max(1, rep["num_kmers"])
+    print(f"num_kmers = {rep['num_kmers']}")
+    print(f"num_positive_kmers = {pos} ({100.0 * pos / tot:.4g}%)")
+    print(f"num_searches = {rep['num_searches']}/{pos}")
+    print(f"num_extensions = {rep['num_extensions']}/{pos}")
+    print(json.dumps(rep))
+    return 0
+
+
+def _check(args):
+    from ..check import check_all
+    from ..dictionary import Dictionary
+
+    d = Dictionary.load(args.index)
+    check_all(d, verbose=True, engine=d.to_device())
+    print("check: OK")
+    return 0
+
+
+def _bench(args):
+    """perf_test_lookup_access analog (tools/perf.hpp:9-157): random ids ->
+    access -> 50% RC -> timed lookups (positive + negative) + access."""
+    from .. import kmer as K
+    from ..dictionary import Dictionary
+    from ..oracle import access
+
+    d = Dictionary.load(args.index)
+    index = d.index
+    rng = np.random.default_rng(17)
+    B = min(args.batch, index.num_kmers)
+    ids = rng.integers(0, index.num_kmers, B)
+    kmers = access(index, ids)
+    kmers[: B // 2] = K.revcomp_kmers(kmers[: B // 2], index.k)
+    neg = rng.integers(0, 1 << 62, (B, index.kmer_words64), dtype=np.uint64)
+    rem = 2 * index.k - 64 * (index.kmer_words64 - 1)
+    neg[:, -1] &= np.uint64(0xFFFFFFFFFFFFFFFF) if rem == 64 else np.uint64((1 << rem) - 1)
+
+    rows = {}
+    if args.host:
+        from .. import oracle
+
+        run_l = lambda x: oracle.lookup(index, x)
+        run_a = lambda i: oracle.access(index, i)
+        sync = lambda r: r
+    else:
+        import jax
+        import jax.numpy as jnp
+
+        eng = d.to_device()
+        km32_pos = jax.device_put(jnp.asarray(K.kmers_to_u32(kmers, index.k)))
+        km32_neg = jax.device_put(jnp.asarray(K.kmers_to_u32(neg, index.k)))
+        ids_dev = jax.device_put(jnp.asarray(ids.astype(np.uint32)))
+        run_l = lambda x: eng.lookup_device(x)
+        run_a = lambda i: eng.access_device(i)
+        sync = jax.block_until_ready
+        kmers, neg, ids = km32_pos, km32_neg, ids_dev
+
+    for name, fn, arg in (("positive_lookup", run_l, kmers),
+                          ("negative_lookup", run_l, neg),
+                          ("access", run_a, ids)):
+        sync(fn(arg))  # warmup/compile
+        best = float("inf")
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            sync(fn(arg))
+            best = min(best, time.perf_counter() - t0)
+        rows[f"{name} (avg_nanosec_per_kmer)"] = best * 1e9 / B
+    rows["batch"] = B
+    print(json.dumps(rows))
+    return 0
+
+
+def _permute(args):
+    from ..cover import permute_file
+
+    stats = permute_file(args.input, args.k, args.output)
+    print(json.dumps(stats))
+    return 0
