@@ -438,6 +438,25 @@ def make_weight(cfg):
     return fn
 
 
+def make_neighbours(cfg):
+    """Batched navigational queries (src/dictionary.cpp:112-128): one fused
+    lookup over the 8 neighbour variants (4 forward, 4 backward) per kmer."""
+    lookup = make_lookup(cfg)
+
+    def fn(arrs, kmers32):
+        B = kmers32.shape[0]
+        k = cfg.k
+        fwd_base = P.drop_one_char(kmers32)
+        bwd_base = P.shift_up_one_char(kmers32, k)
+        variants = [P.set_char(fwd_base, k - 1, c) for c in range(4)]
+        variants += [P.set_char(bwd_base, 0, c) for c in range(4)]
+        allk = jnp.concatenate(variants, axis=0)  # (8B, W)
+        res = lookup(arrs, allk)
+        return {key: v.reshape(8, B).T for key, v in res.items()}
+
+    return fn
+
+
 class DeviceEngine:
     """Device-resident index + jitted batched query entry points."""
 
@@ -450,6 +469,7 @@ class DeviceEngine:
         self._lookup = jax.jit(self._lookup_fn)
         self._access = jax.jit(make_access(self.cfg))
         self._weight = jax.jit(make_weight(self.cfg)) if index.weights is not None else None
+        self._neighbours = jax.jit(make_neighbours(self.cfg))
 
     # ---- raw jitted entry points (device in/out)
 
@@ -478,6 +498,23 @@ class DeviceEngine:
 
     def is_member(self, kmers64):
         return self.lookup(kmers64)["kmer_id"] != np.uint64(INVALID_UINT64)
+
+    def kmer_neighbours(self, kmers64):
+        """dict of (B, 8) arrays; columns 0-3 forward A,C,T,G then 4-7
+        backward (neighbourhood<kmer_t>, util.hpp:77-81)."""
+        kmers64 = np.atleast_2d(np.asarray(kmers64, dtype=np.uint64))
+        kmers32 = K.kmers_to_u32(kmers64, self.cfg.k)
+        res = jax.tree.map(np.asarray, self._neighbours(self.arrs, jnp.asarray(kmers32)))
+        found = res.pop("found")
+        out = {}
+        for key, v in res.items():
+            if v.dtype == np.uint32:
+                v64 = v.astype(np.uint64)
+                v64[~found] = np.uint64(INVALID_UINT64)
+                out[key] = v64
+            else:
+                out[key] = v
+        return out
 
 
 def _to_host_result(res):

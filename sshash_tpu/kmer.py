@@ -180,6 +180,61 @@ def pack_words_to_u32(words64):
     return out
 
 
+# --------------------------------------------------------------- amino acids
+# 5-bit 26-letter protein alphabet (reference kmer.hpp:258-301,
+# aa_uint_kmer_t). Reverse complement is the identity (proteins have no
+# strands), so canonical mode degenerates to regular. Exposed as a codec
+# (the reference defines the type but wires no tool to it).
+
+AA_BITS = 5
+_AA_TO_CODE = np.full(256, 255, dtype=np.uint8)
+for _i in range(26):
+    _AA_TO_CODE[ord("A") + _i] = _i
+    _AA_TO_CODE[ord("a") + _i] = _i
+_CODE_TO_AA = np.frombuffer(bytes(ord("A") + i for i in range(26)), dtype=np.uint8)
+
+
+def aa_encode_chars(buf):
+    """bytes -> (5-bit codes uint8 with 255 invalid, valid bool)."""
+    arr = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray)) else np.asarray(buf, dtype=np.uint8)
+    codes = _AA_TO_CODE[arr]
+    return codes, codes != 255
+
+
+def aa_decode_codes(codes):
+    return _CODE_TO_AA[np.asarray(codes, dtype=np.uint8)].tobytes()
+
+
+def aa_num_words64(k):
+    return (AA_BITS * k + 63) // 64
+
+
+def aa_pack(codes):
+    """5-bit codes -> packed uint64 words, char j at bits [5j, 5j+5)
+    (reference uint_kmer_t::set with bits_per_char=5, kmer.hpp:80)."""
+    codes = np.asarray(codes, dtype=np.uint64)
+    k = len(codes)
+    out = np.zeros(aa_num_words64(k), dtype=U64)
+    for j, c in enumerate(codes):
+        w, b = divmod(AA_BITS * j, 64)
+        out[w] |= (c << U64(b)) & U64(0xFFFFFFFFFFFFFFFF)
+        if b > 64 - AA_BITS and w + 1 < len(out):
+            out[w + 1] |= c >> U64(64 - b)
+    return out
+
+
+def aa_unpack(words, k):
+    words = np.asarray(words, dtype=U64).reshape(-1)
+    codes = np.empty(k, dtype=np.uint8)
+    for j in range(k):
+        w, b = divmod(AA_BITS * j, 64)
+        v = words[w] >> U64(b)
+        if b > 64 - AA_BITS and w + 1 < len(words):
+            v |= words[w + 1] << U64(64 - b)
+        codes[j] = int(v & U64((1 << AA_BITS) - 1))
+    return codes
+
+
 def string_to_kmer(s, k=None):
     """ASCII kmer -> packed uint64[W] (reference util.hpp:207-213)."""
     if k is None:

@@ -54,6 +54,16 @@ _MIN_FIELDS = ("kmer_id", "kmer_id_in_string", "kmer_offset", "string_id",
                "string_begin", "string_end")
 
 
+def _ranges(sizes):
+    """[3,2] -> [0,1,2,0,1] (per-group aranges)."""
+    if not len(sizes):
+        return np.zeros(0, dtype=np.int64)
+    total = int(sizes.sum())
+    out = np.arange(total, dtype=np.int64)
+    starts = np.cumsum(sizes) - sizes
+    return out - np.repeat(starts, sizes)
+
+
 def make_mesh(shape=None, axis_names=("data", "bucket"), devices=None):
     """Default 2D mesh over all local devices: bucket axis of 2 when
     possible, the rest data-parallel."""
@@ -185,10 +195,32 @@ class ShardedEngine:
             host[key] = padded
         self.per_shard = per_shard
 
+        # shard the mid-load buckets along with their owning codeword range:
+        # each shard gets a local mid_load array holding only the entries of
+        # its MPHF-slot range, and its cw_a rewritten to local offsets.
+        status = host["cw_status"]
+        cw_a = host["cw_a"].copy()
+        cw_b = host["cw_b"]
+        glob_mid = host["mid_load"]
+        shard_mids = []
+        for j in range(nb):
+            sl = slice(j * per_shard, (j + 1) * per_shard)
+            mid = status[sl] == 1
+            sizes = np.where(mid, cw_b[sl], 0).astype(np.int64)
+            local_begin = np.cumsum(sizes) - sizes
+            idx = np.repeat(cw_a[sl][mid].astype(np.int64), sizes[mid]) + _ranges(sizes[mid])
+            shard_mids.append(glob_mid[idx] if len(idx) else np.zeros(0, glob_mid.dtype))
+            cw_a[sl] = np.where(mid, local_begin.astype(cw_a.dtype), cw_a[sl])
+        mid_len = max(1, max(len(s) for s in shard_mids))
+        host["mid_load"] = np.concatenate([
+            np.pad(s, (0, mid_len - len(s))) for s in shard_mids])
+        host["cw_a"] = cw_a
+
         in_specs = {}
         self.arrs = {}
+        sharded_keys = _CW_KEYS + ("mid_load",)
         for key, arr in host.items():
-            spec = P(bucket_axis) if key in _CW_KEYS else P()
+            spec = P(bucket_axis) if key in sharded_keys else P()
             in_specs[key] = spec
             self.arrs[key] = jax.device_put(arr, NamedSharding(self.mesh, spec))
 

@@ -151,12 +151,29 @@ def _bench(args):
         ids_dev = jax.device_put(jnp.asarray(ids.astype(np.uint32)))
         run_l = lambda x: eng.lookup_device(x)
         run_a = lambda i: eng.access_device(i)
-        sync = jax.block_until_ready
+
+        def sync(r):
+            # block_until_ready does not truly block over the axon tunnel;
+            # fetching one element forces end-to-end execution
+            leaf = jax.tree.leaves(r)[0]
+            np.asarray(leaf[:1])
+            return r
         kmers, neg, ids = km32_pos, km32_neg, ids_dev
+
+    # iterator = sequential-id access (reference perf_test_iterator,
+    # tools/perf.hpp:126-157)
+    if args.host:
+        seq_ids = np.arange(B)
+    else:
+        import jax
+        import jax.numpy as jnp
+
+        seq_ids = jax.device_put(jnp.arange(B, dtype=jnp.uint32))
 
     for name, fn, arg in (("positive_lookup", run_l, kmers),
                           ("negative_lookup", run_l, neg),
-                          ("access", run_a, ids)):
+                          ("access", run_a, ids),
+                          ("iterator", run_a, seq_ids)):
         sync(fn(arg))  # warmup/compile
         best = float("inf")
         for _ in range(args.runs):

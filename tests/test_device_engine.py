@@ -53,3 +53,18 @@ def test_device_weight(dict_weighted, rng):
     eng = DeviceEngine(dict_weighted.index)
     ids = rng.integers(0, dict_weighted.num_kmers(), size=8192)
     assert np.array_equal(dict_weighted.weight(ids), eng.weight(ids))
+
+
+def test_device_neighbours_match_oracle(dict_k31, rng):
+    """Batched device navigation == host facade navigation."""
+    import numpy as np
+    from sshash_tpu import oracle
+
+    index = dict_k31.index
+    eng = dict_k31.to_device()
+    ids = rng.integers(0, index.num_kmers, 64)
+    kmers = oracle.access(index, ids)
+    dev = eng.kmer_neighbours(kmers)
+    want = dict_k31.kmer_neighbours(kmers)
+    np.testing.assert_array_equal(dev["kmer_id"][:, :4], want["forward"]["kmer_id"])
+    np.testing.assert_array_equal(dev["kmer_id"][:, 4:], want["backward"]["kmer_id"])

@@ -63,3 +63,25 @@ def test_revcomp_mmers(rng):
         v = K.string_to_kmer(s, m)[0]
         rc = K.revcomp_mmers(np.array([v], dtype=np.uint64), m)[0]
         assert K.kmer_to_string(np.array([rc]), m) == K.revcomp_str(s)
+
+
+def test_aa_alphabet_roundtrip():
+    """5-bit protein codec (reference kmer.hpp:258-301): encode/pack/unpack
+    round-trips for every k up to 12 (uint64) and 25 (two words)."""
+    import numpy as np
+    from sshash_tpu import kmer as K
+
+    rng = np.random.default_rng(5)
+    for k in list(range(1, 13)) + [20, 25]:
+        s = bytes(ord("A") + int(c) for c in rng.integers(0, 26, k))
+        codes, ok = K.aa_encode_chars(s)
+        assert ok.all()
+        packed = K.aa_pack(codes)
+        assert len(packed) == K.aa_num_words64(k)
+        back = K.aa_unpack(packed, k)
+        assert K.aa_decode_codes(back) == s
+        # case-insensitive like the reference char_to_aa
+        codes2, ok2 = K.aa_encode_chars(s.lower())
+        assert ok2.all() and (codes2 == codes).all()
+    bad, okb = K.aa_encode_chars(b"AB*Z")
+    assert list(okb) == [True, True, False, True]
