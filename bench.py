@@ -34,7 +34,7 @@ def main():
     eng = d.to_device()
 
     rng = np.random.default_rng(0xBE7C)
-    B = 1 << 20
+    B = 1 << 22
     ids = rng.integers(0, index.num_kmers, B)
     kmers64 = access(index, ids)
     half = B // 2

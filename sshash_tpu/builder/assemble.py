@@ -218,8 +218,24 @@ def assemble(parsed, tuples, words64, k, m, seed, canonical, verbose=False, on_s
             "num_bits_per_offset": nbo,
             "num_bits_for_control": nbc,
             "num_partitions": num_partitions,
+            "bucket_size_histogram": _histogram(sizes, verbose),
         },
     )
+
+
+def _histogram(sizes, verbose, cap=4096):
+    """Bucket-size distribution (reference include/buckets_statistics.hpp:
+    62-137): {size: count} up to `cap`, printed cumulatively when verbose."""
+    hist = np.bincount(np.minimum(sizes, cap))
+    out = {int(s): int(c) for s, c in enumerate(hist) if c}
+    if verbose:
+        total = int(hist.sum())
+        cum = 0
+        print("bucket size distribution:")
+        for s, c in sorted(out.items()):
+            cum += c
+            print(f"  num_buckets of size {s}: {c} ({100.0 * cum / total:.3f}% cumulative)")
+    return out
 
 
 def _kmer_less(a, b):

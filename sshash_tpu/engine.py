@@ -36,6 +36,21 @@ INVALID32 = np.uint32(0xFFFFFFFF)
 _NUM_SKEW = 8
 
 
+def _expand_to_slots(arr, mphf):
+    """Re-index an array keyed by MINIMAL mphf position into one keyed by the
+    raw hash SLOT in [0, table_size): slot < n reads arr[slot], overflow slots
+    read through the remap. Evaluation then needs no remap gather; untaken
+    overflow slots alias arr[remap=0], bit-equal to the minimal eval's
+    garbage for absent keys (mphf.py eval_hashes)."""
+    ts = max(1, mphf.table_size)
+    out = np.zeros(ts, dtype=arr.dtype)
+    n = min(mphf.n, len(arr))
+    out[:n] = arr[:n]
+    if ts > mphf.n and len(arr):
+        out[mphf.n:] = arr[np.clip(mphf.remap.astype(np.int64), 0, len(arr) - 1)]
+    return out
+
+
 def _device_arrays(index):
     """Host Index -> device pytree (all uint32)."""
     from .index import decode_codeword
@@ -60,46 +75,68 @@ def _device_arrays(index):
     vwords = np.packbits(vstart, bitorder="little")
     vwords = np.pad(vwords, (0, (-len(vwords)) % 4 + 4)).view(np.uint32)
 
+    # block-sid hints: sid of the string containing each 32-char block start,
+    # turning the per-lookup searchsorted resolve into 2 gathers (see
+    # lookup_with_info resolve step)
+    nblocks = (index.num_chars + 31) // 32 + 1
+    sid32 = (np.searchsorted(ep, np.arange(nblocks, dtype=np.int64) * 32,
+                             side="right") - 1).astype(np.uint32)
+    kmer_cum64 = ep - np.arange(len(ep)) * (index.k - 1)
+    nkb = (index.num_kmers + 31) // 32 + 1
+    sidk32 = (np.searchsorted(kmer_cum64, np.arange(nkb, dtype=np.int64) * 32,
+                              side="right") - 1).astype(np.uint32)
+
+    f = index.minimizer_mphf
+    # one row per raw MPHF slot: [status|b<<2, a, candidate0]. candidate0 is
+    # precomputed (the singleton offset, or mid_load[a] for midload), so the
+    # whole codeword decode + first-candidate fetch is ONE row gather.
+    sb = (status.astype(np.uint32) | (b.astype(np.uint32) << 2))
+    mid_arr = index.mid_load_buckets.astype(np.uint32)
+    cand0 = a.astype(np.uint32)
+    midm = status == 1
+    if len(mid_arr):
+        cand0 = np.where(midm, mid_arr[np.clip(a.astype(np.int64), 0, len(mid_arr) - 1)], cand0)
+    cw_row = np.stack([
+        _expand_to_slots(sb, f),
+        _expand_to_slots(a.astype(np.uint32), f),
+        _expand_to_slots(cand0, f),
+    ], axis=1)
     arrs = {
         "strings32": K.pack_words_to_u32(index.strings64),
         "vstart": vwords,
         "endpoints": index.string_endpoints.astype(np.uint32),
+        "sid32": sid32,
+        "sidk32": sidk32,
         "kmer_cum": (
             index.string_endpoints.astype(np.int64)
             - np.arange(len(index.string_endpoints)) * (index.k - 1)
         ).astype(np.uint32),
-        "cw_status": status.astype(np.uint32),
-        "cw_a": a.astype(np.uint32),
-        "cw_b": b.astype(np.uint32),
+        "cw_row": cw_row,
         "mid_load": _nz(index.mid_load_buckets.astype(np.uint32)),
         "heavy_load": _nz(index.heavy_load_buckets.astype(np.uint32)),
-        "pilots": _nz(index.minimizer_mphf.pilots),
-        "remap": _nz(index.minimizer_mphf.remap),
+        "pilots": _nz(f.pilots),
     }
 
-    # skew partitions: concatenated arrays + per-partition params (8 slots)
-    sk_pilots, sk_remap, sk_pos = [], [], []
+    # skew partitions: concatenated arrays + per-partition params (8 slots);
+    # positions re-keyed by raw slot (no remap gather at eval)
+    sk_pilots, sk_pos = [], []
     params = {name: np.zeros(_NUM_SKEW, dtype=np.uint32) for name in
-              ("n", "table", "nbuckets", "seedmix_hi", "seedmix_lo",
-               "pilot_off", "remap_off", "pos_off")}
+              ("table", "nbuckets", "seedmix_hi", "seedmix_lo",
+               "pilot_off", "pos_off")}
     params["nbuckets"][:] = 1
     params["table"][:] = 1
     for i, part in enumerate(index.skew_partitions[:_NUM_SKEW]):
-        f = part.mphf
-        params["n"][i] = f.n
-        params["table"][i] = max(1, f.table_size)
-        params["nbuckets"][i] = f.num_buckets
-        smix = int(H.splitmix64(np.uint64(f.seed)))
+        fp = part.mphf
+        params["table"][i] = max(1, fp.table_size)
+        params["nbuckets"][i] = fp.num_buckets
+        smix = int(H.splitmix64(np.uint64(fp.seed)))
         params["seedmix_hi"][i] = smix >> 32
         params["seedmix_lo"][i] = smix & 0xFFFFFFFF
         params["pilot_off"][i] = sum(len(x) for x in sk_pilots)
-        params["remap_off"][i] = sum(len(x) for x in sk_remap)
         params["pos_off"][i] = sum(len(x) for x in sk_pos)
-        sk_pilots.append(f.pilots)
-        sk_remap.append(f.remap)
-        sk_pos.append(part.positions)
+        sk_pilots.append(fp.pilots)
+        sk_pos.append(_expand_to_slots(part.positions, fp))
     arrs["sk_pilots"] = _nz(np.concatenate(sk_pilots) if sk_pilots else np.zeros(0, np.uint32))
-    arrs["sk_remap"] = _nz(np.concatenate(sk_remap) if sk_remap else np.zeros(0, np.uint32))
     arrs["sk_positions"] = _nz(np.concatenate(sk_pos) if sk_pos else np.zeros(0, np.uint32))
     for name, v in params.items():
         arrs[f"sk_{name}"] = v
@@ -143,14 +180,13 @@ class StaticCfg:
 
 
 def mphf_eval_minimizer(cfg, arrs, minval):
-    """Batched minimizer-MPHF eval (see mphf.MPHF.eval_hashes)."""
+    """Batched minimizer-MPHF eval returning the raw hash SLOT in
+    [0, table_size); codeword arrays are slot-keyed (_expand_to_slots), so
+    no remap gather is needed (cf. mphf.MPHF.eval_hashes)."""
     mh = u.splitmix64(u.xor(minval, u.const64(cfg.mphf_seedmix)))
     bucket = u.mulhi32(mh.hi, U32(cfg.mphf_nbuckets))
     pilot = _take(arrs["pilots"], bucket)
-    slot = u.mulhi32(u.fmix32(mh.lo ^ u.fmix32(pilot)), U32(cfg.mphf_table))
-    over = slot >= U32(cfg.mphf_n)
-    remapped = _take(arrs["remap"], jnp.where(over, slot - U32(cfg.mphf_n), U32(0)))
-    return jnp.where(over, remapped, slot)
+    return u.mulhi32(u.fmix32(mh.lo ^ u.fmix32(pilot)), U32(cfg.mphf_table))
 
 
 def skew_eval(cfg, arrs, kmers32, cw_a, pid):
@@ -162,12 +198,7 @@ def skew_eval(cfg, arrs, kmers32, cw_a, pid):
     bucket = u.mulhi32(h.hi, nb)
     pilot = _take(arrs["sk_pilots"], _take(arrs["sk_pilot_off"], pid) + bucket)
     table = _take(arrs["sk_table"], pid)
-    n = _take(arrs["sk_n"], pid)
     slot = u.mulhi32(u.fmix32(h.lo ^ u.fmix32(pilot)), table)
-    over = slot >= n
-    remapped = _take(arrs["sk_remap"],
-                     _take(arrs["sk_remap_off"], pid) + jnp.where(over, slot - n, U32(0)))
-    slot = jnp.where(over, remapped, slot)
     pos_in_bucket = _take(arrs["sk_positions"], _take(arrs["sk_pos_off"], pid) + slot)
     return _take(arrs["heavy_load"], cw_a + pos_in_bucket)
 
@@ -220,9 +251,12 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
         owner = (ids >= arrs["cw_lo"]) & (ids < arrs["cw_hi"])
         active0 = active0 & owner
         ids = jnp.where(owner, ids - arrs["cw_lo"], U32(0))
-    status = _take(arrs["cw_status"], ids)
-    cw_a = _take(arrs["cw_a"], ids)
-    cw_b = _take(arrs["cw_b"], ids)
+    row = jnp.take(arrs["cw_row"], ids.astype(I32), axis=0, mode="clip")
+    sb = row[:, 0]
+    cw_a = row[:, 1]
+    cand0_pre = row[:, 2]
+    status = sb & U32(3)
+    cw_b = sb >> U32(2)
     heavy = status == 2
     midload = status == 1
     size = jnp.where(midload, cw_b, U32(1))
@@ -241,16 +275,35 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
     minpos_u = minpos.astype(U32)
     alt_pos = U32(k - m) - minpos_u  # canonical second try
 
-    def verify(cand, active, lane_kmers, lane_kmers_rc, pos, apos):
-        """One candidate per lane; returns (match, ko, orient)."""
+    minval_rc = P.revcomp_mmer64(minval, m) if canonical else None
+
+    def verify(cand, active, lane_kmers, lane_kmers_rc, pos, apos, guard=False):
+        """One candidate per lane; returns (match, ko, orient, guard_ok).
+        With guard=True the first read doubles as the minimizer-guard read
+        (spss:47-65): the window starts at cand - min(pos, cand) so the
+        guard m-mer is always covered, extracted in-register at a dynamic
+        bit offset — no separate m-char gather."""
         match = jnp.zeros(cand.shape, dtype=bool)
         bko = jnp.zeros(cand.shape, dtype=U32)
         bor = jnp.full(cand.shape, FORWARD_ORIENTATION, dtype=I32)
-        for pos_try in (pos, apos) if canonical else (pos,):
-            ok = active & ~match & (cand >= pos_try)
-            ko = jnp.where(ok, cand - pos_try, U32(0))
+        guard_ok = None
+        for t, pos_try in enumerate((pos, apos) if canonical else (pos,)):
+            can = cand >= pos_try
+            if guard and t == 0:
+                base = cand - jnp.minimum(pos_try, cand)
+                read = P.read_kmers_at(arrs["strings32"],
+                                       jnp.where(active, base, U32(0)), k)
+                gv = P.extract_window_dyn(read, (cand - base) * U32(2), 2 * m)
+                guard_ok = u.equal(gv, minval)
+                if canonical:
+                    guard_ok = guard_ok | u.equal(gv, minval_rc)
+                ok = active & can
+                ko = base
+            else:
+                ok = active & ~match & can
+                ko = jnp.where(ok, cand - pos_try, U32(0))
+                read = P.read_kmers_at(arrs["strings32"], jnp.where(ok, ko, U32(0)), k)
             ok &= _valid_start(arrs, ko)
-            read = P.read_kmers_at(arrs["strings32"], jnp.where(ok, ko, U32(0)), k)
             if canonical:
                 eq_f = P.kmer_equal(read, lane_kmers)
                 eq_r = P.kmer_equal(read, lane_kmers_rc)
@@ -261,24 +314,19 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
                 hit = ok & P.kmer_equal(read, lane_kmers)
             bko = jnp.where(hit, ko, bko)
             match = match | hit
-        return match, bko, bor
+        return match, bko, bor, guard_ok
 
-    # ---- candidate 0 (all statuses) + minimizer guard (spss:47-65)
+    # ---- candidate 0 (all statuses); its read doubles as the minimizer
+    # guard read (spss:47-65)
     res = _empty_res(B)
-    mid0 = _take(arrs["mid_load"], cw_a)
-    cand0 = jnp.where(status == 0, cw_a, jnp.where(heavy, skew_off, mid0))
-    read_m = P.read_kmers_at(arrs["strings32"], jnp.where(active0, cand0, U32(0)), m)
-    read_mv = P.extract_window(read_m, 0, 2 * m)
-    guard_ok = u.equal(read_mv, minval)
-    if canonical:
-        rc_val = P.extract_window(P.revcomp_kmers(read_m, m), 0, 2 * m)
-        guard_ok = guard_ok | u.equal(rc_val, minval)
+    cand0 = jnp.where(heavy, skew_off, cand0_pre)
+    found, bko, bor, guard_ok = verify(cand0, active0, kmers32, kmers_rc32,
+                                       minpos_u, alt_pos, guard=True)
     res["minimizer_found"] = jnp.where(active0 & ~guard_ok & ~heavy, False,
                                        res["minimizer_found"])
     # a failed guard proves the bucket belongs to a different minimizer:
     # no candidate can match (all are occurrences of that other m-mer)
     active0 = active0 & (guard_ok | heavy)
-    found, bko, bor = verify(cand0, active0, kmers32, kmers_rc32, minpos_u, alt_pos)
 
     # ---- candidates 1..size-1 (midload only): compacted pair sweep
     PMAX = max(128, B // 8)  # pair-window width; multiple windows when exceeded
@@ -311,8 +359,8 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
         cand = _take(arrs["mid_load"], _take(cw_a, lane_u) + j)
         lk = jnp.take(kmers32, lane, axis=0, mode="clip")
         lkr = jnp.take(kmers_rc32, lane, axis=0, mode="clip") if canonical else None
-        pm, pko, por = verify(cand, pvalid, lk, lkr,
-                              _take(minpos_u, lane_u), _take(alt_pos, lane_u))
+        pm, pko, por, _ = verify(cand, pvalid, lk, lkr,
+                                 _take(minpos_u, lane_u), _take(alt_pos, lane_u))
         # at most one candidate per lane can match (kmers are distinct in the
         # SPSS), so scatter-max combines are exact
         hit = jnp.zeros((B,), dtype=U32).at[
@@ -338,11 +386,24 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
     _, (found, bko, bor) = jax.lax.while_loop(
         cond, body, (jnp.int32(0), (found, bko, bor)))
 
-    # ---- resolve ids once (offsets.hpp locate analog)
+    # ---- resolve ids once (offsets.hpp locate analog): block-sid hint +
+    # bounded in-register fix-up (2 gathers instead of a searchsorted)
     off = jnp.where(found, bko, U32(0))
-    sid = jnp.searchsorted(arrs["endpoints"], off, side="right").astype(I32) - 1
-    sb = _take(arrs["endpoints"], sid)
-    se = _take(arrs["endpoints"], sid + 1)
+    C = 32 // k + 1  # max string starts inside one 32-char block (strings >= k)
+    hint = _take(arrs["sid32"], off >> U32(5)).astype(I32)
+    eps = jnp.take(arrs["endpoints"],
+                   hint[:, None] + jnp.arange(C + 2, dtype=I32)[None, :],
+                   mode="clip")  # (B, C+2): ep[hint .. hint+C+1]
+    cross = jnp.zeros_like(hint)
+    for c in range(C):
+        cross = cross + (off >= eps[:, 1 + c]).astype(I32)
+    sid = hint + cross
+    sb = eps[:, 0]
+    se = eps[:, 1]
+    for c in range(1, C + 1):
+        sel = cross == c
+        sb = jnp.where(sel, eps[:, c], sb)
+        se = jnp.where(sel, eps[:, c + 1], se)
     res["kmer_offset"] = jnp.where(found, off, res["kmer_offset"])
     res["string_id"] = jnp.where(found, sid.astype(U32), res["string_id"])
     res["string_begin"] = jnp.where(found, sb, res["string_begin"])
@@ -422,10 +483,22 @@ def _merge(res_a, res_b, use_b, use_b_flags):
 
 
 def make_access(cfg):
+    """ids -> packed kmers; string resolution via the kmer-id block-hint
+    table (2 gathers) instead of a searchsorted (offsets.hpp:41-65)."""
+    k = cfg.k
+    C = 32 // k + 1
+
     def fn(arrs, ids):
-        sid = jnp.searchsorted(arrs["kmer_cum"], ids, side="right").astype(I32) - 1
-        off = ids + sid.astype(U32) * U32(cfg.k - 1)
-        return P.read_kmers_at(arrs["strings32"], off, cfg.k)
+        hint = _take(arrs["sidk32"], ids >> U32(5)).astype(I32)
+        kc = jnp.take(arrs["kmer_cum"],
+                      hint[:, None] + jnp.arange(1, C + 1, dtype=I32)[None, :],
+                      mode="clip")
+        cross = jnp.zeros_like(hint)
+        for c in range(C):
+            cross = cross + (ids >= kc[:, c]).astype(I32)
+        sid = hint + cross
+        off = ids + sid.astype(U32) * U32(k - 1)
+        return P.read_kmers_at(arrs["strings32"], off, k)
 
     return fn
 

@@ -67,6 +67,38 @@ def extract_window(kmers32, bit, width_bits):
     return out
 
 
+def extract_window_dyn(kmers32, bitpos, width_bits):
+    """Extract up to 64 bits at a PER-LANE dynamic bit offset from packed
+    kmers (B, W). bitpos: uint32 (B,), even. Pure register selects + variable
+    shifts — no gathers. Returns u64 masked to width_bits."""
+    B, W = kmers32.shape
+    w0 = (bitpos >> 5).astype(U32)
+    b = (bitpos & U32(31)).astype(U32)
+
+    def sel(widx):
+        out = jnp.zeros((B,), dtype=U32)
+        for w in range(W):
+            out = jnp.where(widx == w, kmers32[:, w], out)
+        return out
+
+    up = (U32(32) - b) & U32(31)
+    nz = b != 0
+    lo = (sel(w0) >> b) | jnp.where(nz, sel(w0 + 1) << up, U32(0))
+    hi = (sel(w0 + 1) >> b) | jnp.where(nz, sel(w0 + 2) << up, U32(0))
+    out = u.u64(hi, lo)
+    if width_bits < 64:
+        return u.and_(out, u.const64((1 << width_bits) - 1))
+    return out
+
+
+def revcomp_mmer64(val, m):
+    """RC of u64-packed m-mers (m <= 31), register-only (host analog:
+    kmer.revcomp_mmers)."""
+    hi = crc32_word(val.lo)
+    lo = crc32_word(val.hi)
+    return u.shr(u.u64(hi, lo), 64 - 2 * m)
+
+
 def compute_minimizer(kmers32, k, m, magic):
     """Leftmost minimal mixer-hash m-mer per kmer (util.hpp:262-283).
     magic: u64 scalar. Returns (val u64 (B,), pos int32 (B,))."""

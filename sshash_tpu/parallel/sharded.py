@@ -47,7 +47,7 @@ from ..ops import u64 as u
 U32 = jnp.uint32
 I32 = jnp.int32
 
-_CW_KEYS = ("cw_status", "cw_a", "cw_b")
+_CW_KEYS = ("cw_row",)
 # combine rule per result field over the bucket axis: non-owner shards hold
 # the identity (INVALID32 = all-ones for "min" fields, False for "max").
 _MIN_FIELDS = ("kmer_id", "kmer_id_in_string", "kmer_offset", "string_id",
@@ -186,21 +186,20 @@ class ShardedEngine:
         nb = self.mesh.shape[bucket_axis]
 
         host = _device_arrays(index)
-        n_cw = len(host["cw_status"])
+        n_cw = len(host["cw_row"])
         per_shard = -(-n_cw // nb)
-        for key in _CW_KEYS:
-            arr = host[key]
-            padded = np.zeros(per_shard * nb, dtype=arr.dtype)
-            padded[: len(arr)] = arr
-            host[key] = padded
+        padded = np.zeros((per_shard * nb, host["cw_row"].shape[1]),
+                          dtype=host["cw_row"].dtype)
+        padded[:n_cw] = host["cw_row"]
+        host["cw_row"] = padded
         self.per_shard = per_shard
 
         # shard the mid-load buckets along with their owning codeword range:
         # each shard gets a local mid_load array holding only the entries of
         # its MPHF-slot range, and its cw_a rewritten to local offsets.
-        status = host["cw_status"]
-        cw_a = host["cw_a"].copy()
-        cw_b = host["cw_b"]
+        status = host["cw_row"][:, 0] & 3
+        cw_a = host["cw_row"][:, 1].copy()
+        cw_b = host["cw_row"][:, 0] >> 2
         glob_mid = host["mid_load"]
         shard_mids = []
         for j in range(nb):
@@ -211,10 +210,10 @@ class ShardedEngine:
             idx = np.repeat(cw_a[sl][mid].astype(np.int64), sizes[mid]) + _ranges(sizes[mid])
             shard_mids.append(glob_mid[idx] if len(idx) else np.zeros(0, glob_mid.dtype))
             cw_a[sl] = np.where(mid, local_begin.astype(cw_a.dtype), cw_a[sl])
+        host["cw_row"][:, 1] = cw_a
         mid_len = max(1, max(len(s) for s in shard_mids))
         host["mid_load"] = np.concatenate([
             np.pad(s, (0, mid_len - len(s))) for s in shard_mids])
-        host["cw_a"] = cw_a
 
         in_specs = {}
         self.arrs = {}

@@ -138,17 +138,15 @@ def derive_report(found, string_id, kmer_id, orientation, valid, first_pos):
 
 
 class _Batcher:
-    """Accumulates per-position packed kmers across reads, flushes through a
-    lookup callable in fixed-size chunks, and folds counters."""
+    """Accumulates reads, encodes/extracts per-position kmers fully
+    vectorized at flush time, runs the batched lookup, folds counters."""
 
     def __init__(self, index, lookup_fn, k, chunk=1 << 18):
         self.index = index
         self.lookup_fn = lookup_fn
         self.k = k
         self.chunk = chunk
-        self._kmers = []
-        self._valid = []
-        self._first = []
+        self._seqs = []
         self._pending = 0
         # adjacency state carried across chunk boundaries
         self._carry = None
@@ -162,34 +160,37 @@ class _Batcher:
         }
 
     def add_read(self, seq):
-        k = self.k
         n = len(seq)
-        if n < k:
+        if n < self.k:
             return
-        codes, ok = K.encode_chars(seq)
-        npos = n - k + 1
-        okc = np.zeros(n + 1, dtype=np.int32)
-        np.cumsum(ok, out=okc[1:])
-        valid = (okc[k:] - okc[:-k]) == k  # (npos,)
-        words = K.pack_codes(np.where(ok, codes, 0), pad_words=K.num_words64(k) + 1)
-        kmers = K.read_kmers_at(words, np.arange(npos), k)
-        first = np.zeros(npos, dtype=bool)
-        first[0] = True
-        self._kmers.append(kmers)
-        self._valid.append(valid)
-        self._first.append(first)
-        self._pending += npos
+        self._seqs.append(bytes(seq))
+        self._pending += n - self.k + 1
         if self._pending >= self.chunk:
             self.flush()
 
     def flush(self):
         if not self._pending:
             return
-        kmers = np.concatenate(self._kmers)
-        valid = np.concatenate(self._valid)
-        first = np.concatenate(self._first)
-        self._kmers, self._valid, self._first = [], [], []
+        k = self.k
+        lens = np.array([len(s) for s in self._seqs], dtype=np.int64)
+        codes, ok = K.encode_chars(b"".join(self._seqs))
+        self._seqs = []
         self._pending = 0
+
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        npos = lens - k + 1
+        total = int(npos.sum())
+        # per-read position lists, vectorized
+        pstart = np.cumsum(npos) - npos
+        pos = np.repeat(starts, npos) + (np.arange(total) - np.repeat(pstart, npos))
+        first = np.zeros(total, dtype=bool)
+        first[pstart] = True
+        okc = np.zeros(len(ok) + 1, dtype=np.int64)
+        np.cumsum(ok, out=okc[1:])
+        valid = (okc[pos + k] - okc[pos]) == k
+        words = K.pack_codes(np.where(ok, codes, 0), pad_words=K.num_words64(k) + 1)
+        kmers = K.read_kmers_at(words, pos, k)
 
         res = self.lookup_fn(kmers, valid)
         found = (res["kmer_id"] != INVALID) & valid
@@ -233,32 +234,270 @@ def _host_lookup(index):
     return fn
 
 
-def _device_lookup(engine, chunk):
-    """Fixed-shape device batches (pad to `chunk`) to avoid recompiles."""
-    import jax
-    import jax.numpy as jnp
+class _DeviceStream:
+    """TPU streaming pipeline. Per chunk, uploads only the 2-bit PACKED read
+    chars + tiny per-read metadata (host<->device links can be slow; the
+    expanded per-position kmers would be ~30x larger), extracts kmers,
+    runs the batched lookup, and derives the report counters ON DEVICE —
+    only a handful of scalars come back per chunk."""
 
-    def fn(kmers64, valid):
-        n = len(kmers64)
-        kmers32 = K.kmers_to_u32(kmers64, engine.cfg.k)
-        if n < chunk:
-            kmers32 = np.concatenate(
-                [kmers32, np.zeros((chunk - n, kmers32.shape[1]), dtype=np.uint32)]
-            )
-        res = engine.lookup_device(jnp.asarray(kmers32))
-        res = jax.tree.map(np.asarray, res)
-        found = res.pop("found")
-        out = {}
-        for key, v in res.items():
-            if v.dtype == np.uint32:
-                v64 = v.astype(np.uint64)
-                v64[~found] = INVALID
-                out[key] = v64[:n]
-            else:
-                out[key] = v[:n].astype(np.int64) if key == "kmer_orientation" else v[:n]
-        return out
+    def __init__(self, engine, k, pmax=1 << 19, rmax_shift=4):
+        import jax
+        import jax.numpy as jnp
 
-    return fn
+        from .engine import make_lookup
+
+        self.engine = engine
+        self.k = k
+        self.P = pmax
+        self.R = pmax >> rmax_shift  # max reads (segments) per chunk
+        self.CW = (pmax + (self.R * (k - 1)) + 31) // 32 + 4  # u32 words of chars
+        self._seqs = []  # (bytes, is_read_start)
+        self._pending = 0
+        self._carry = None
+        self.report = dict.fromkeys(
+            ["num_kmers", "num_positive_kmers", "num_negative_kmers",
+             "num_invalid_kmers", "num_searches", "num_extensions"], 0)
+
+        cfg = engine.cfg
+        # one compiled step per (engine, P, R): cache on the engine
+        cache = getattr(engine, "_stream_steps", None)
+        if cache is None:
+            cache = engine._stream_steps = {}
+        if (self.P, self.R) in cache:
+            self._step = cache[(self.P, self.R)]
+            self._jnp = jnp
+            return
+        lookup = make_lookup(cfg)
+        P_, R_ = self.P, self.R
+        I32 = jnp.int32
+        U32j = jnp.uint32
+
+        S = 16  # anchor stride: 1 full lookup per S positions on hit-dense data
+        A = P_ // S
+        FWD = 1
+
+        def _char_at(words, idx):
+            """2-bit char at char-offset idx from packed u32 words."""
+            w = jnp.take(words, (idx >> 4).astype(I32), mode="clip")
+            return (w >> ((idx & U32j(15)) * U32j(2))) & U32j(3)
+
+        def _bit_at(bits, idx):
+            w = jnp.take(bits, (idx >> 5).astype(I32), mode="clip")
+            return ((w >> (idx & U32j(31))) & U32j(1)) != 0
+
+        def step(arrs, words32, rstart, rnpos, rfirst_bits, valid_bits, count, nreads):
+            """Anchored seed-and-extend (the batched analog of the reference
+            extension cache, streaming_query.hpp:86-100): full lookups only at
+            every S-th position; the S-1 followers of a found anchor resolve
+            with ONE string-char comparison each (chain prefix-AND per row);
+            broken chains fall back to compacted full lookups."""
+            from .ops import packed as Pk
+
+            lane = jnp.arange(P_, dtype=I32)
+            active = lane < count
+            # lane -> read via scatter marks + cumsum (reads sorted by pstart)
+            pstart = jnp.cumsum(rnpos) - rnpos
+            marks = jnp.zeros((P_,), dtype=I32).at[
+                jnp.where(jnp.arange(R_) < nreads, pstart, P_)].add(1, mode="drop")
+            r = jnp.cumsum(marks) - 1
+            r = jnp.clip(r, 0, R_ - 1)
+            pos = jnp.take(rstart, r, mode="clip") + (
+                lane - jnp.take(pstart, r, mode="clip")).astype(U32j)
+            first = ((jnp.take(rfirst_bits, r >> 5, mode="clip") >> (r & 31)) & 1) != 0
+            first = first & (lane == jnp.take(pstart, r, mode="clip"))
+            valid = (((valid_bits[lane >> 5] >> (lane & 31).astype(U32j)) & 1) != 0) & active
+
+            # ---- phase 1: anchor lookups (compacted to A = P/S lanes)
+            apos = pos[::S]
+            ares = lookup(arrs, Pk.read_kmers_at(words32, apos, cfg.k))
+            afound = ares["found"] & valid[::S]
+            aoff = ares["kmer_offset"]
+            asid = ares["string_id"]
+            akid = ares["kmer_id"]
+            aorient = ares["kmer_orientation"]  # (A,) i32
+
+            # ---- phase 2: chain extension, one char compare per follower
+            t = jnp.arange(S, dtype=U32j)[None, :]
+            fwd = (aorient[:, None] == FWD)
+            og = jnp.where(fwd, aoff[:, None] + t, aoff[:, None] - t)
+            under = ~fwd & (aoff[:, None] < t)
+            k1 = U32j(cfg.k - 1)
+            qs = jnp.where(fwd, og + k1, og)
+            posg = pos.reshape(A, S)
+            schar = _char_at(arrs["strings32"], qs)
+            rchar = _char_at(words32, posg + k1)
+            charok = jnp.where(fwd, schar == rchar, schar == (rchar ^ U32j(2)))
+            vg = valid.reshape(A, S)
+            fg = first.reshape(A, S)
+            instr = _bit_at(arrs["vstart"], og)
+            cond = vg & ~fg & charok & instr & ~under
+            cond = cond.at[:, 0].set(afound)
+            matched = jnp.cumprod(cond.astype(I32), axis=1) > 0
+
+            sgn = jnp.where(fwd, U32j(1), U32j(0xFFFFFFFF))  # +1 / -1 mod 2^32
+            found_l = matched.reshape(P_)
+            sid_l = jnp.broadcast_to(asid[:, None], (A, S)).reshape(P_)
+            kid_l = (akid[:, None] + sgn * t).reshape(P_)
+            ori_l = jnp.broadcast_to(aorient[:, None], (A, S)).reshape(P_)
+
+            # ---- phase 3: compacted fallback lookups for unresolved lanes
+            need = active & valid & ~found_l
+            Wp = P_ // 8
+            rank = jnp.cumsum(need.astype(I32)) - 1
+            lane_ids = jnp.zeros((P_,), dtype=I32).at[
+                jnp.where(need, rank, P_)].set(lane, mode="drop")
+            totaln = rank[-1] + 1
+
+            def wbody(w, carry):
+                found_l, sid_l, kid_l, ori_l = carry
+                slot = w * Wp + jnp.arange(Wp, dtype=I32)
+                lid = jnp.take(lane_ids, jnp.clip(slot, 0, P_ - 1), mode="clip")
+                ok = slot < totaln
+                lp = jnp.take(pos, lid, mode="clip")
+                km = Pk.read_kmers_at(words32, jnp.where(ok, lp, U32j(0)), cfg.k)
+                r2 = lookup(arrs, km)
+                f2 = r2["found"] & ok
+                tgt = jnp.where(f2, lid, P_)
+                found_l = found_l.at[tgt].set(True, mode="drop")
+                sid_l = sid_l.at[tgt].set(r2["string_id"], mode="drop")
+                kid_l = kid_l.at[tgt].set(r2["kmer_id"], mode="drop")
+                ori_l = ori_l.at[tgt].set(r2["kmer_orientation"], mode="drop")
+                return found_l, sid_l, kid_l, ori_l
+
+            nw = (totaln + Wp - 1) // Wp
+
+            def wcond(c):
+                return c[0] < nw
+
+            def wstep(c):
+                w, carry = c
+                return w + 1, wbody(w, carry)
+
+            _, (found_l, sid_l, kid_l, ori_l) = jax.lax.while_loop(
+                wcond, wstep, (jnp.int32(0), (found_l, sid_l, kid_l, ori_l)))
+
+            # ---- derive the report counters (see module docstring)
+            found = found_l & valid
+            sid = sid_l
+            kid = kid_l
+            orient = ori_l
+            pf = jnp.roll(found, 1).at[0].set(False)
+            ext = (found & pf & ~first
+                   & (sid == jnp.roll(sid, 1))
+                   & (orient == jnp.roll(orient, 1))
+                   & (kid == jnp.roll(kid, 1) + jnp.roll(orient, 1).astype(U32j)))
+            n_pos = found.sum().astype(U32j)
+            n_ext = ext.sum().astype(U32j)
+            n_inv = (active & ~valid).sum().astype(U32j)
+            last = jnp.clip(count - 1, 0, P_ - 1)
+            counters = jnp.stack([count.astype(U32j), n_pos, n_ext, n_inv])
+            lane0 = jnp.stack([found[0].astype(U32j), sid[0], kid[0],
+                               orient[0].astype(U32j)])
+            lastv = jnp.stack([found[last].astype(U32j), sid[last], kid[last],
+                               orient[last].astype(U32j)])
+            return counters, lane0, lastv
+
+        self._step = cache[(self.P, self.R)] = jax.jit(step)
+        self._jnp = jnp
+
+    def add_read(self, seq):
+        k = self.k
+        n = len(seq)
+        if n < k:
+            return
+        # split long reads into <=P-position segments with k-1 char overlap
+        # (the reference's multiline buffer carry, src/query.cpp:28-37)
+        seg = self.P // 2
+        for off in range(0, n - k + 1, seg):
+            chunk = seq[off : off + seg + k - 1]
+            self._add_segment(bytes(chunk), off == 0)
+
+    def _add_segment(self, seq, is_start):
+        npos = len(seq) - self.k + 1
+        if (self._pending + npos > self.P // 2
+                or len(self._seqs) + 1 > self.R
+                or sum(len(s) for s, _ in self._seqs) + len(seq) > self.CW * 16):
+            self.flush()
+        self._seqs.append((seq, is_start))
+        self._pending += npos
+
+    def flush(self):
+        if not self._pending:
+            return
+        import jax.numpy as jnp
+
+        k = self.k
+        seqs = [s for s, _ in self._seqs]
+        starts_flag = np.array([f for _, f in self._seqs], dtype=bool)
+        self._seqs = []
+        count = self._pending
+        self._pending = 0
+
+        lens = np.array([len(s) for s in seqs], dtype=np.int64)
+        codes, ok = K.encode_chars(b"".join(seqs))
+        ends = np.cumsum(lens)
+        cstarts = ends - lens
+        npos = lens - k + 1
+        pstart = np.cumsum(npos) - npos
+        total = int(npos.sum())
+        assert total == count
+
+        words = K.pack_codes(np.where(ok, codes, 0))
+        words32 = np.zeros(self.CW, dtype=np.uint32)
+        w32 = K.pack_words_to_u32(words)
+        words32[: len(w32)] = w32
+
+        pos_all = np.repeat(cstarts, npos) + (np.arange(total) - np.repeat(pstart, npos))
+        okc = np.zeros(len(ok) + 1, dtype=np.int64)
+        np.cumsum(ok, out=okc[1:])
+        valid = (okc[pos_all + k] - okc[pos_all]) == k
+        vb = np.packbits(valid, bitorder="little")
+        valid_bits = np.zeros(self.P // 32 + 1, dtype=np.uint32)
+        valid_bits[: (len(vb) + 3) // 4] = np.pad(vb, (0, (-len(vb)) % 4)).view(np.uint32)
+
+        R = self.R
+        rstart = np.zeros(R, dtype=np.uint32)
+        rnpos = np.zeros(R, dtype=np.uint32)
+        rstart[: len(lens)] = cstarts.astype(np.uint32)
+        rnpos[: len(lens)] = npos.astype(np.uint32)
+        fb = np.packbits(starts_flag, bitorder="little")
+        rfirst = np.zeros(R // 32 + 1, dtype=np.uint32)
+        rfirst[: (len(fb) + 3) // 4] = np.pad(fb, (0, (-len(fb)) % 4)).view(np.uint32)
+
+        counters, lane0, lastv = self._step(
+            self.engine.arrs, jnp.asarray(words32), jnp.asarray(rstart),
+            jnp.asarray(rnpos), jnp.asarray(rfirst), jnp.asarray(valid_bits),
+            jnp.uint32(count), jnp.uint32(len(lens)))
+        counters = np.asarray(counters).astype(np.int64)
+        lane0 = np.asarray(lane0)
+        lastv = np.asarray(lastv)
+
+        n_kmers, n_pos, n_ext, n_inv = counters
+        # stitch adjacency across the previous chunk boundary (the first
+        # segment of this chunk may continue a split read)
+        if self._carry is not None and not starts_flag[0]:
+            c_found, c_sid, c_kid, c_orient = self._carry
+            co = np.int64(np.int32(lane0[3]))
+            if (c_found and lane0[0]
+                    and lane0[1] == c_sid and co == c_orient
+                    and int(lane0[2]) == (int(c_kid) + c_orient) & 0xFFFFFFFF):
+                n_ext += 1
+        self.report["num_kmers"] += int(n_kmers)
+        self.report["num_positive_kmers"] += int(n_pos)
+        self.report["num_extensions"] += int(n_ext)
+        self.report["num_invalid_kmers"] += int(n_inv)
+        self.report["num_negative_kmers"] += int(n_kmers - n_pos - n_inv)
+        self.report["num_searches"] += int(n_pos - n_ext)
+        self._carry = (bool(lastv[0]), np.uint64(lastv[1]), np.uint64(lastv[2]),
+                       int(np.int32(lastv[3])))
+
+    def finalize(self):
+        self.flush()
+        r = self.report
+        assert r["num_kmers"] == (
+            r["num_positive_kmers"] + r["num_negative_kmers"] + r["num_invalid_kmers"])
+        return dict(r)
 
 
 def streaming_query_from_file(dictionary, path, multiline=False, fmt=None,
@@ -266,14 +505,12 @@ def streaming_query_from_file(dictionary, path, multiline=False, fmt=None,
     """Run streaming membership queries; returns the report dict of
     streaming_query_report (reference util.hpp:29-36) plus timing."""
     index = dictionary.index
+    t0 = time.perf_counter()
     if use_device:
         engine = dictionary.to_device()
-        lookup_fn = _device_lookup(engine, chunk)
+        batcher = _DeviceStream(engine, index.k, pmax=max(chunk, 1 << 16))
     else:
-        lookup_fn = _host_lookup(index)
-
-    t0 = time.perf_counter()
-    batcher = _Batcher(index, lookup_fn, index.k, chunk=chunk)
+        batcher = _Batcher(index, _host_lookup(index), index.k, chunk=chunk)
     for seq in parse_reads(path, fmt=fmt, multiline=multiline):
         batcher.add_read(seq)
     report = batcher.finalize()
