@@ -444,27 +444,68 @@ def make_lookup(cfg):
             mv, mp = P.compute_minimizer(kmers32, cfg.k, cfg.m, magic)
             res = lookup_with_info(cfg, arrs, kmers32, None, mv, mp, all_active)
 
-            # RC fallback (src/dictionary.cpp:71-76), skipped when all found
+            # RC fallback (src/dictionary.cpp:71-76), COMPACTED to actual
+            # misses and processed in B/4-wide windows: free when everything
+            # hits forward, ~half cost when ~50% of queries are RC'd.
             miss = ~res["found"]
+            Wf = max(128, B // 4)
+            lane = jnp.arange(B, dtype=I32)
+            rank = jnp.cumsum(miss.astype(I32)) - 1
+            lane_ids = jnp.zeros((B,), dtype=I32).at[
+                jnp.where(miss, rank, B)].set(lane, mode="drop")
+            total = rank[-1] + 1
 
-            def do_rc(res):
+            def fb_window(w, res):
+                slot = w * Wf + jnp.arange(Wf, dtype=I32)
+                lid = jnp.take(lane_ids, jnp.clip(slot, 0, B - 1), mode="clip")
+                ok = slot < total
+                km = jnp.take(kmers32, lid, axis=0, mode="clip")
+                rc = P.revcomp_kmers(km, cfg.k)
+                mv_r, mp_r = P.compute_minimizer(rc, cfg.k, cfg.m, magic)
+                r2 = lookup_with_info(cfg, arrs, rc, None, mv_r, mp_r, ok)
+                f2 = r2["found"] & ok
+                res = dict(res)
+                tgt_f = jnp.where(f2, lid, B)
+                tgt_ok = jnp.where(ok, lid, B)
+                for key in ("kmer_id", "kmer_id_in_string", "kmer_offset",
+                            "string_id", "string_begin", "string_end"):
+                    res[key] = res[key].at[tgt_f].set(r2[key], mode="drop")
+                # reference sets BACKWARD orientation on the RC attempt even
+                # when it also misses (src/dictionary.cpp:71-76)
+                res["kmer_orientation"] = res["kmer_orientation"].at[tgt_ok].set(
+                    I32(BACKWARD_ORIENTATION), mode="drop")
+                # minimizer_found combines for streaming
+                # (streaming_query.hpp:172-178)
+                mf = jnp.take(res["minimizer_found"], lid) | r2["minimizer_found"]
+                res["minimizer_found"] = res["minimizer_found"].at[tgt_ok].set(
+                    mf, mode="drop")
+                res["found"] = res["found"].at[tgt_f].set(True, mode="drop")
+                return res
+
+            def windowed(res):
+                nw = (total + Wf - 1) // Wf
+                _, out = jax.lax.while_loop(
+                    lambda c: c[0] < nw,
+                    lambda c: (c[0] + 1, fb_window(c[0], c[1])),
+                    (jnp.int32(0), res))
+                return out
+
+            def full_width(res):
+                # mostly-miss batches (e.g. negative workloads): one dense
+                # pass beats windowed looping (nested while_loops schedule
+                # poorly on TPU)
                 kmers_rc32 = P.revcomp_kmers(kmers32, cfg.k)
                 mv_r, mp_r = P.compute_minimizer(kmers_rc32, cfg.k, cfg.m, magic)
                 res2 = lookup_with_info(cfg, arrs, kmers_rc32, None, mv_r, mp_r, miss)
-                res2["kmer_orientation"] = jnp.full_like(res2["kmer_orientation"],
-                                                         BACKWARD_ORIENTATION)
-                # minimizer_found combines for streaming (streaming_query.hpp:172-178)
                 merged = _merge(res, res2, miss & res2["found"], miss)
                 merged["minimizer_found"] = jnp.where(
                     miss, res["minimizer_found"] | res2["minimizer_found"],
                     res["minimizer_found"])
-                # reference sets backward orientation on the RC attempt even
-                # when it also misses (src/dictionary.cpp:71-76)
                 merged["kmer_orientation"] = jnp.where(
                     miss, I32(BACKWARD_ORIENTATION), merged["kmer_orientation"])
                 return merged
 
-            res = jax.lax.cond(jnp.any(miss), do_rc, lambda r: r, res)
+            res = jax.lax.cond(total > (B * 5) // 8, full_width, windowed, res)
         return res
 
     return fn
