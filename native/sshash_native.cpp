@@ -133,4 +133,108 @@ void minimizer_scan(const uint64_t* words, int64_t n, int64_t k, int64_t m,
     }
 }
 
+static inline uint64_t crc64(uint64_t x) {
+    // complement + byteswap + in-byte char swap (reference kmer.hpp:141-157)
+    uint64_t c = x ^ 0xAAAAAAAAAAAAAAAAull;
+    c = __builtin_bswap64(c);
+    c = ((c & 0x0F0F0F0F0F0F0F0Full) << 4) | ((c & 0xF0F0F0F0F0F0F0F0ull) >> 4);
+    c = ((c & 0x3333333333333333ull) << 2) | ((c & 0xCCCCCCCCCCCCCCCCull) >> 2);
+    return c;
+}
+
+// Full minimizer-tuple scan over concatenated 2-bit codes: one cache-friendly
+// pass replacing the vectorized NumPy pipeline (builder/minimizers.py), which
+// needs ~30 full-array passes. Semantics pinned by util::compute_minimizer +
+// minimizer_iterator (reference util.hpp:262-283, minimizer_iterator.hpp:
+// 10-169): forward = leftmost strictly-minimal m-mer hash; RC strand =
+// rightmost (ties <=); canonical picks RC iff its VALUE is strictly smaller
+// (compute_minimizer_tuples.cpp:82-85). Emits super-kmer runs
+// (minimizer, pos_in_seq=absolute occurrence offset, pos_in_kmer, count).
+// Returns the tuple count, or -1 if cap is exceeded.
+int64_t tuple_scan(const uint8_t* codes, int64_t n_chars,
+                   const int64_t* endpoints, int64_t num_seqs,
+                   int64_t k, int64_t m, uint64_t magic, int canonical,
+                   uint64_t* out_min, uint64_t* out_pos,
+                   uint8_t* out_pik, uint8_t* out_cnt, int64_t cap) {
+    (void)n_chars;
+    const int64_t w = k - m + 1;
+    const uint64_t mmask = (2 * m >= 64) ? ~0ull : ((1ull << (2 * m)) - 1);
+    const int rcs = (int)(64 - 2 * m);
+    const int64_t DQ = w + 1;  // deque capacity; head/tail indices are
+    std::vector<int64_t> dqf(DQ), dqr(DQ);  // monotone, slots are modular
+    std::vector<uint64_t> vbuf(w), hf(w), hr(w), vrbuf(w);
+    auto F = [&](int64_t i) -> int64_t& { return dqf[i % DQ]; };
+    auto Rq = [&](int64_t i) -> int64_t& { return dqr[i % DQ]; };
+
+    int64_t t = 0;
+    for (int64_t s = 0; s < num_seqs; ++s) {
+        const int64_t b = endpoints[s], e = endpoints[s + 1];
+        const int64_t nk = e - b - k + 1;
+        if (nk <= 0) continue;
+        const int64_t nm = e - b - m + 1;
+        // pre-load chars [0, m-1) one slot up so the first >>2 in the loop
+        // lands them at [0, m-2] and appends char m-1
+        uint64_t mv = 0;
+        for (int64_t j = 0; j < m - 1; ++j) mv |= (uint64_t)codes[b + j] << (2 * (j + 1));
+        int64_t fh = 0, ft = 0, rh = 0, rt = 0;  // deque head/tail
+        uint64_t prev_val = ~0ull;
+        int64_t prev_occ = -1, run_head = -1;
+
+        for (int64_t j = 0; j < nm; ++j) {
+            mv = (mv >> 2) | ((uint64_t)codes[b + j + m - 1] << (2 * (m - 1)));
+            // circular buffers indexed by j % w
+            const int64_t slot = j % w;
+            const uint64_t h = mv * 0x517CC1B727220A95ull ^ magic;
+            vbuf[slot] = mv;
+            hf[slot] = h;
+            // forward deque: strict '<' keeps leftmost on ties
+            while (ft > fh && h < hf[F(ft - 1) % w]) --ft;
+            F(ft++) = j;
+            uint64_t vr = 0, hrj = 0;
+            if (canonical) {
+                vr = crc64(mv) >> rcs;
+                hrj = vr * 0x517CC1B727220A95ull ^ magic;
+                vrbuf[slot] = vr;
+                hr[slot] = hrj;
+                // RC keeps the RIGHTMOST minimal: '<=' pops equals
+                while (rt > rh && hrj <= hr[Rq(rt - 1) % w]) --rt;
+                Rq(rt++) = j;
+            }
+            const int64_t p = j - w + 1;  // kmer index whose window ends at j
+            if (p < 0) continue;
+            while (F(fh) < p) ++fh;
+            int64_t occ = F(fh);
+            uint64_t val = vbuf[occ % w];
+            if (canonical) {
+                while (Rq(rh) < p) ++rh;
+                const int64_t occr = Rq(rh);
+                const uint64_t valr = vrbuf[occr % w];
+                if (valr < val) { val = valr; occ = occr; }
+            }
+            if (val != prev_val || occ != prev_occ) {
+                if (run_head >= 0) {
+                    if (t >= cap) return -1;
+                    out_min[t] = prev_val;
+                    out_pos[t] = (uint64_t)(b + prev_occ);
+                    out_pik[t] = (uint8_t)(prev_occ - run_head);
+                    out_cnt[t] = (uint8_t)(p - run_head);
+                    ++t;
+                }
+                run_head = p;
+                prev_val = val;
+                prev_occ = occ;
+            }
+        }
+        if (run_head >= 0) {
+            if (t >= cap) return -1;
+            out_min[t] = prev_val;
+            out_pos[t] = (uint64_t)(b + prev_occ);
+            out_pik[t] = (uint8_t)(prev_occ - run_head);
+            out_cnt[t] = (uint8_t)(nk - run_head);
+            ++t;
+        }
+    }
+    return t;
+}
+
 }  // extern "C"

@@ -116,8 +116,20 @@ def _ranges(starts, counts):
 
 def compute_tuples(words64, endpoints, k, m, magic, canonical, codes=None):
     """Run-length encode per-kmer minimizer picks into super-kmer tuples,
-    sorted by (minimizer, pos_in_seq)."""
+    sorted by (minimizer, pos_in_seq). Uses the native single-pass C++
+    scanner when available (one memory pass vs ~30 vectorized ones)."""
     assert k - m + 1 <= 255, "super-kmer length must fit in uint8"
+
+    from .. import native
+
+    if codes is not None and native.available():
+        mn, ps, pik, cnt = native.tuple_scan(
+            codes, endpoints.astype(np.int64), k, m, magic, canonical)
+        order = np.lexsort((ps, mn))
+        return MinimizerTuples(
+            minimizer=mn[order], pos_in_seq=ps[order],
+            pos_in_kmer=pik[order], count=cnt[order])
+
     vals, occ, kpos = per_position_minimizers(words64, endpoints, k, m, magic, canonical, codes)
 
     # run breaks: new sequence OR minimizer value change OR occurrence change

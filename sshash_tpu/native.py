@@ -42,6 +42,11 @@ def _load():
         lib.minimizer_scan.argtypes = [
             p(u64), i64, i64, i64, u64, p(u64), p(ctypes.c_int32),
         ]
+        lib.tuple_scan.restype = i64
+        lib.tuple_scan.argtypes = [
+            p(ctypes.c_uint8), i64, p(i64), i64, i64, i64, u64, ctypes.c_int,
+            p(u64), p(u64), p(ctypes.c_uint8), p(ctypes.c_uint8), i64,
+        ]
         _lib = lib
     except Exception:
         _lib = None
@@ -96,3 +101,27 @@ def minimizer_scan(words64, n_chars, k, m, magic):
         _ptr(out_pos, ctypes.c_int32),
     )
     return out_val, out_pos
+
+
+def tuple_scan(codes, endpoints, k, m, magic, canonical):
+    """Single-pass minimizer/super-kmer tuple scan (C++). Returns
+    (minimizer u64[T], pos_in_seq u64[T], pos_in_kmer u8[T], count u8[T])."""
+    lib = _load()
+    assert lib is not None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    endpoints = np.ascontiguousarray(endpoints, dtype=np.int64)
+    num_seqs = len(endpoints) - 1
+    cap = int(endpoints[-1])  # tuples <= kmers <= chars
+    out_min = np.empty(cap, dtype=np.uint64)
+    out_pos = np.empty(cap, dtype=np.uint64)
+    out_pik = np.empty(cap, dtype=np.uint8)
+    out_cnt = np.empty(cap, dtype=np.uint8)
+    t = lib.tuple_scan(
+        _ptr(codes, ctypes.c_uint8), len(codes),
+        _ptr(endpoints, ctypes.c_int64), num_seqs,
+        int(k), int(m), ctypes.c_uint64(int(magic)), int(bool(canonical)),
+        _ptr(out_min, ctypes.c_uint64), _ptr(out_pos, ctypes.c_uint64),
+        _ptr(out_pik, ctypes.c_uint8), _ptr(out_cnt, ctypes.c_uint8), cap,
+    )
+    assert t >= 0
+    return out_min[:t], out_pos[:t], out_pik[:t], out_cnt[:t]
