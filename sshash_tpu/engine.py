@@ -450,12 +450,9 @@ def make_lookup(cfg):
             miss = ~res["found"]
             Wf = max(128, B // 4)
             lane = jnp.arange(B, dtype=I32)
-            rank = jnp.cumsum(miss.astype(I32)) - 1
-            lane_ids = jnp.zeros((B,), dtype=I32).at[
-                jnp.where(miss, rank, B)].set(lane, mode="drop")
-            total = rank[-1] + 1
+            n_miss = miss.sum()
 
-            def fb_window(w, res):
+            def fb_window(w, res, lane_ids, total):
                 slot = w * Wf + jnp.arange(Wf, dtype=I32)
                 lid = jnp.take(lane_ids, jnp.clip(slot, 0, B - 1), mode="clip")
                 ok = slot < total
@@ -483,10 +480,16 @@ def make_lookup(cfg):
                 return res
 
             def windowed(res):
+                # compaction prep lives here so an all-found batch (the cond
+                # below) pays nothing for the fallback
+                rank = jnp.cumsum(miss.astype(I32)) - 1
+                lane_ids = jnp.zeros((B,), dtype=I32).at[
+                    jnp.where(miss, rank, B)].set(lane, mode="drop")
+                total = rank[-1] + 1
                 nw = (total + Wf - 1) // Wf
                 _, out = jax.lax.while_loop(
                     lambda c: c[0] < nw,
-                    lambda c: (c[0] + 1, fb_window(c[0], c[1])),
+                    lambda c: (c[0] + 1, fb_window(c[0], c[1], lane_ids, total)),
                     (jnp.int32(0), res))
                 return out
 
@@ -505,7 +508,11 @@ def make_lookup(cfg):
                     miss, I32(BACKWARD_ORIENTATION), merged["kmer_orientation"])
                 return merged
 
-            res = jax.lax.cond(total > (B * 5) // 8, full_width, windowed, res)
+            res = jax.lax.cond(
+                n_miss > 0,
+                lambda r: jax.lax.cond(n_miss > (B * 5) // 8, full_width, windowed, r),
+                lambda r: r,
+                res)
         return res
 
     return fn
