@@ -75,12 +75,16 @@ def _device_arrays(index):
     vwords = np.packbits(vstart, bitorder="little")
     vwords = np.pad(vwords, (0, (-len(vwords)) % 4 + 4)).view(np.uint32)
 
-    # block-sid hints: sid of the string containing each 32-char block start,
-    # turning the per-lookup searchsorted resolve into 2 gathers (see
-    # lookup_with_info resolve step)
+    # block-sid resolve rows: for each 32-char block, [sid_of_block_start,
+    # ep[sid] .. ep[sid+C+1]] — the whole id resolution is ONE row gather +
+    # in-register selects (see lookup_with_info resolve step)
+    C = 32 // index.k + 1
     nblocks = (index.num_chars + 31) // 32 + 1
-    sid32 = (np.searchsorted(ep, np.arange(nblocks, dtype=np.int64) * 32,
-                             side="right") - 1).astype(np.uint32)
+    hint = np.searchsorted(ep, np.arange(nblocks, dtype=np.int64) * 32,
+                           side="right") - 1
+    eps_idx = np.clip(hint[:, None] + np.arange(C + 2)[None, :], 0, len(ep) - 1)
+    sid_rows = np.concatenate(
+        [hint[:, None].astype(np.uint32), ep[eps_idx].astype(np.uint32)], axis=1)
     kmer_cum64 = ep - np.arange(len(ep)) * (index.k - 1)
     nkb = (index.num_kmers + 31) // 32 + 1
     sidk32 = (np.searchsorted(kmer_cum64, np.arange(nkb, dtype=np.int64) * 32,
@@ -105,7 +109,7 @@ def _device_arrays(index):
         "strings32": K.pack_words_to_u32(index.strings64),
         "vstart": vwords,
         "endpoints": index.string_endpoints.astype(np.uint32),
-        "sid32": sid32,
+        "sid_rows": sid_rows,
         "sidk32": sidk32,
         "kmer_cum": (
             index.string_endpoints.astype(np.int64)
@@ -386,14 +390,14 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
     _, (found, bko, bor) = jax.lax.while_loop(
         cond, body, (jnp.int32(0), (found, bko, bor)))
 
-    # ---- resolve ids once (offsets.hpp locate analog): block-sid hint +
-    # bounded in-register fix-up (2 gathers instead of a searchsorted)
+    # ---- resolve ids once (offsets.hpp locate analog): ONE block-row gather
+    # [sid, ep[sid..sid+C+1]] + bounded in-register fix-up
     off = jnp.where(found, bko, U32(0))
     C = 32 // k + 1  # max string starts inside one 32-char block (strings >= k)
-    hint = _take(arrs["sid32"], off >> U32(5)).astype(I32)
-    eps = jnp.take(arrs["endpoints"],
-                   hint[:, None] + jnp.arange(C + 2, dtype=I32)[None, :],
-                   mode="clip")  # (B, C+2): ep[hint .. hint+C+1]
+    row = jnp.take(arrs["sid_rows"], (off >> U32(5)).astype(I32), axis=0,
+                   mode="clip")
+    hint = row[:, 0].astype(I32)
+    eps = row[:, 1:]
     cross = jnp.zeros_like(hint)
     for c in range(C):
         cross = cross + (off >= eps[:, 1 + c]).astype(I32)

@@ -78,3 +78,28 @@ def test_iterator_matches_access(dict_k31):
     kms = d.access(np.arange(1000, 1100))
     for (kid, km), expect in zip(got, kms):
         assert (km == expect).all()
+
+
+def test_string_neighbours_and_iteration(dict_k31):
+    """string_neighbours must equal kmer-level neighbours at string ends
+    (reference check_correctness_navigational_string_query, check.hpp:99-174);
+    at_string_id windows partition the id space."""
+    import numpy as np
+    from sshash_tpu.oracle import access
+
+    d = dict_k31
+    for sid in (0, 7, d.num_strings() - 1):
+        b, e = d.string_offsets(sid)
+        size = e - b - d.k + 1
+        first_id = b - sid * (d.k - 1)
+        # iteration window
+        ids = [i for i, _ in d.at_string_id(sid)]
+        assert ids == list(range(first_id, first_id + size))
+        # string-level navigation == kmer-level at the ends
+        sn = d.string_neighbours(sid)
+        first_kmer = access(d.index, [first_id])
+        last_kmer = access(d.index, [first_id + size - 1])
+        fwd = d.kmer_forward_neighbours(last_kmer)
+        bwd = d.kmer_backward_neighbours(first_kmer)
+        np.testing.assert_array_equal(sn["forward"]["kmer_id"], fwd["kmer_id"])
+        np.testing.assert_array_equal(sn["backward"]["kmer_id"], bwd["kmer_id"])
