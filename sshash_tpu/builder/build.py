@@ -10,9 +10,9 @@ NumPy; out-of-core sharding by minimizer-hash range is the multi-host path
 
 import json
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
-import numpy as np
+
 
 from .. import kmer as K
 from ..constants import SEED

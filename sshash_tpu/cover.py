@@ -24,7 +24,7 @@ final_runs = initial_runs - num_sequences + num_walks.
 """
 
 import gzip
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

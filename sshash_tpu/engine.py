@@ -18,7 +18,7 @@ device. Char offsets / ids are uint32 (one shard handles < 2^32 chars; larger
 sets shard by minimizer across devices, see parallel/).
 """
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

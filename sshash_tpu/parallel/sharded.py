@@ -20,7 +20,7 @@ instead of `lax.cond`s, because "found" is only known after the cross-shard
 combine.
 """
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +33,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 from .. import kmer as K
-from ..constants import BACKWARD_ORIENTATION, FORWARD_ORIENTATION
+from ..constants import BACKWARD_ORIENTATION
 from ..engine import (
     StaticCfg,
     _device_arrays,

@@ -6,7 +6,6 @@ Usage: python -m sshash_tpu <subcommand> [flags]
 
 import argparse
 import json
-import sys
 import time
 
 import numpy as np
