@@ -162,6 +162,11 @@ def _take(arr, idx):
     return jnp.take(arr, idx.astype(I32), mode="clip")
 
 
+def u64_take(v, idx):
+    """Gather a u64 (hi, lo) pair by integer lanes."""
+    return u.u64(jnp.take(v.hi, idx, mode="clip"), jnp.take(v.lo, idx, mode="clip"))
+
+
 class StaticCfg:
     """Hashable static config closed over by the jitted kernels."""
 
@@ -437,13 +442,49 @@ def make_lookup(cfg):
             mp1 = jnp.where(rc_first, mp_r, mp_f)
             res = lookup_with_info(cfg, arrs, kmers32, kmers_rc32, mv1, mp1, all_active)
 
+            # tie retry (both strand minimizers equal AND first probe missed,
+            # src/dictionary.cpp:34-41): ties are rare, so COMPACT the retry
+            # lanes into B/8-wide windows instead of a full-width masked pass
             retry = tie & ~res["found"]
+            Wr = max(128, B // 8)
+            lane = jnp.arange(B, dtype=I32)
+            n_retry = retry.sum()
 
-            def do_retry(res):
-                res2 = lookup_with_info(cfg, arrs, kmers32, kmers_rc32, mv_r, mp_r, retry)
-                return _merge(res, res2, retry & res2["found"], retry)
+            def rt_window(w, res, lane_ids, total):
+                slot = w * Wr + jnp.arange(Wr, dtype=I32)
+                lid = jnp.take(lane_ids, jnp.clip(slot, 0, B - 1), mode="clip")
+                ok = slot < total
+                km = jnp.take(kmers32, lid, axis=0, mode="clip")
+                kmr = jnp.take(kmers_rc32, lid, axis=0, mode="clip")
+                r2 = lookup_with_info(cfg, arrs, km, kmr,
+                                      u64_take(mv_r, lid), jnp.take(mp_r, lid, mode="clip"),
+                                      ok)
+                f2 = r2["found"] & ok
+                res = dict(res)
+                tgt_f = jnp.where(f2, lid, B)
+                tgt_ok = jnp.where(ok, lid, B)
+                for key in ("kmer_id", "kmer_id_in_string", "kmer_offset",
+                            "string_id", "string_begin", "string_end",
+                            "kmer_orientation"):
+                    res[key] = res[key].at[tgt_f].set(r2[key], mode="drop")
+                res["minimizer_found"] = res["minimizer_found"].at[tgt_ok].set(
+                    r2["minimizer_found"], mode="drop")
+                res["found"] = res["found"].at[tgt_f].set(True, mode="drop")
+                return res
 
-            res = jax.lax.cond(jnp.any(retry), do_retry, lambda r: r, res)
+            def retried(res):
+                rank = jnp.cumsum(retry.astype(I32)) - 1
+                lane_ids = jnp.zeros((B,), dtype=I32).at[
+                    jnp.where(retry, rank, B)].set(lane, mode="drop")
+                total = rank[-1] + 1
+                nw = (total + Wr - 1) // Wr
+                _, out = jax.lax.while_loop(
+                    lambda c: c[0] < nw,
+                    lambda c: (c[0] + 1, rt_window(c[0], c[1], lane_ids, total)),
+                    (jnp.int32(0), res))
+                return out
+
+            res = jax.lax.cond(n_retry > 0, retried, lambda r: r, res)
         else:
             mv, mp = P.compute_minimizer(kmers32, cfg.k, cfg.m, magic)
             res = lookup_with_info(cfg, arrs, kmers32, None, mv, mp, all_active)
