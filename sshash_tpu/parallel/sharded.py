@@ -106,22 +106,20 @@ def _merge_pref_a(res_a, res_b, use_b, use_b_flags):
     return out
 
 
-def make_sharded_lookup(cfg, per_shard, data_axis="data", bucket_axis="bucket"):
-    """Branch-free multi-shard lookup body (to be wrapped in shard_map).
+def _branchfree_lookup(cfg, arrs, kmers32, per_shard, bucket_axis):
+    """Full lookup with RC-fallback / tie-retry as unconditionally-masked
+    probes (found is only global after the cross-shard combine); codeword
+    ownership by MPHF-slot range on the bucket axis."""
+    lo = jax.lax.axis_index(bucket_axis).astype(U32) * U32(per_shard)
+    arrs = dict(arrs)
+    arrs["cw_lo"] = lo
+    arrs["cw_hi"] = lo + U32(per_shard)
 
-    per_shard: static codeword-range length owned by each bucket shard.
-    """
+    B = kmers32.shape[0]
+    magic = u.const64(cfg.magic)
+    all_active = jnp.ones((B,), dtype=bool)
 
-    def body(arrs, kmers32):
-        lo = jax.lax.axis_index(bucket_axis).astype(U32) * U32(per_shard)
-        arrs = dict(arrs)
-        arrs["cw_lo"] = lo
-        arrs["cw_hi"] = lo + U32(per_shard)
-
-        B = kmers32.shape[0]
-        magic = u.const64(cfg.magic)
-        all_active = jnp.ones((B,), dtype=bool)
-
+    if True:
         if cfg.canonical:
             kmers_rc32 = Pk.revcomp_kmers(kmers32, cfg.k)
             mv_f, mp_f = Pk.compute_minimizer(kmers32, cfg.k, cfg.m, magic)
@@ -159,14 +157,56 @@ def make_sharded_lookup(cfg, per_shard, data_axis="data", bucket_axis="bucket"):
             # on a miss (src/dictionary.cpp:71-76)
             res["kmer_orientation"] = jnp.where(
                 miss, I32(BACKWARD_ORIENTATION), res["kmer_orientation"])
+    return res
 
+
+def make_sharded_lookup(cfg, per_shard, data_axis="data", bucket_axis="bucket"):
+    """Branch-free multi-shard lookup body (to be wrapped in shard_map)."""
+
+    def body(arrs, kmers32):
+        res = _branchfree_lookup(cfg, arrs, kmers32, per_shard, bucket_axis)
         # per-step report, psum'd over the data axis (SURVEY.md §2.5: the
         # streaming_query_report counters merge via psum)
+        B = kmers32.shape[0]
         report = {
             "num_kmers": jax.lax.psum(jnp.full((), B, dtype=U32), data_axis),
             "num_positive": jax.lax.psum(res["found"].sum().astype(U32), data_axis),
         }
         return res, report
+
+    return body
+
+
+def make_sharded_stream(cfg, per_shard, data_axis="data", bucket_axis="bucket"):
+    """One sharded streaming step: per-position lookups over reads sharded
+    on the data axis, report counters derived on device (see streaming.py's
+    adjacency rules) and psum'd over the mesh."""
+
+    def body(arrs, kmers32, valid, first):
+        res = _branchfree_lookup(cfg, arrs, kmers32, per_shard, bucket_axis)
+        found = res["found"] & valid
+        sid = res["string_id"]
+        kid = res["kmer_id"]
+        orient = res["kmer_orientation"]
+        pf = jnp.roll(found, 1).at[0].set(False)
+        ext = (found & pf & ~first
+               & (sid == jnp.roll(sid, 1))
+               & (orient == jnp.roll(orient, 1))
+               & (kid == jnp.roll(kid, 1) + jnp.roll(orient, 1).astype(U32)))
+        # counters are identical on every bucket shard after the combine,
+        # so psum over data only
+        n_pos = jax.lax.psum(found.sum().astype(U32), data_axis)
+        n_ext = jax.lax.psum(ext.sum().astype(U32), data_axis)
+        n_inv = jax.lax.psum((~valid).sum().astype(U32), data_axis)
+        n_all = jax.lax.psum(jnp.full((), valid.shape[0], dtype=U32), data_axis)
+        return {
+            "num_kmers": n_all,
+            "num_positive_kmers": n_pos,
+            "num_extensions": n_ext,
+            "num_searches": n_pos - n_ext,
+            "num_invalid_kmers": n_inv,
+            "num_negative_kmers": n_all - n_pos - n_inv,
+        }
 
     return body
 
@@ -235,7 +275,21 @@ class ShardedEngine:
                 check_vma=False,
             )
         )
+        stream_body = make_sharded_stream(self.cfg, per_shard, data_axis, bucket_axis)
+        cnt_spec = {k2: P() for k2 in ("num_kmers", "num_positive_kmers",
+                                       "num_extensions", "num_searches",
+                                       "num_invalid_kmers", "num_negative_kmers")}
+        self._stream = jax.jit(
+            shard_map(
+                stream_body,
+                mesh=self.mesh,
+                in_specs=(in_specs, P(data_axis, None), P(data_axis), P(data_axis)),
+                out_specs=cnt_spec,
+                check_vma=False,
+            )
+        )
         self._kmer_sharding = NamedSharding(self.mesh, P(data_axis, None))
+        self._flag_sharding = NamedSharding(self.mesh, P(data_axis))
         self._batch_multiple = self.mesh.shape[data_axis]
 
     def lookup_device(self, kmers32):
@@ -255,3 +309,19 @@ class ShardedEngine:
         res = jax.tree.map(np.asarray, res)
         res = {key: v[:n] for key, v in res.items()}
         return _to_host_result(res), jax.tree.map(int, report)
+
+
+    def stream_report(self, kmers64, valid, first):
+        """One sharded streaming step over per-position kmers of a read
+        batch: returns the psum'd streaming_query_report counters.
+        Batch length must be a multiple of the data-axis size, and read
+        boundaries should align with data-shard boundaries (extension
+        chains do not cross shards; a straddling read's first lane in a
+        shard counts as a search instead of an extension)."""
+        kmers64 = np.atleast_2d(np.asarray(kmers64, dtype=np.uint64))
+        kmers32 = K.kmers_to_u32(kmers64, self.cfg.k)
+        dev = jax.device_put(jnp.asarray(kmers32), self._kmer_sharding)
+        v = jax.device_put(jnp.asarray(valid, dtype=bool), self._flag_sharding)
+        f = jax.device_put(jnp.asarray(first, dtype=bool), self._flag_sharding)
+        rep = self._stream(self.arrs, dev, v, f)
+        return jax.tree.map(int, rep)

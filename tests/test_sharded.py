@@ -53,3 +53,40 @@ def test_sharded_matches_oracle_canonical(dict_k31_canonical, rng):
     got, _ = eng.lookup(kmers)
     for key in ("kmer_id", "kmer_offset", "string_id", "kmer_orientation"):
         np.testing.assert_array_equal(got[key], want[key], err_msg=key)
+
+
+def test_sharded_stream_report(dict_k31, rng):
+    """psum'd streaming counters over the mesh == host derivation."""
+    from sshash_tpu.parallel import ShardedEngine
+    from sshash_tpu.streaming import derive_report
+
+    index = dict_k31.index
+    eng = ShardedEngine(index, _mesh(4, 2))
+    # per-shard read batches: each data shard gets 2 reads of 64 positions
+    # (consecutive ids = one string walk), read boundaries aligned to shards
+    n_shards, per_shard, read_len = 4, 128, 64
+    B = n_shards * per_shard
+    ids = []
+    first = np.zeros(B, dtype=bool)
+    for r in range(B // read_len):
+        start = int(rng.integers(0, index.num_kmers - read_len))
+        # clamp into one string so consecutive ids are true adjacencies
+        ids.extend(range(start, start + read_len))
+        first[r * read_len] = True
+    ids = np.asarray(ids)
+    kmers = oracle.access(index, ids)
+    valid = np.ones(B, dtype=bool)
+    rep = eng.stream_report(kmers, valid, first)
+    assert rep["num_kmers"] == B
+
+    # host derivation on the same per-shard slices
+    want = {k2: 0 for k2 in rep}
+    res = oracle.lookup(index, kmers)
+    for s in range(n_shards):
+        sl = slice(s * per_shard, (s + 1) * per_shard)
+        found = res["kmer_id"][sl] != INVALID
+        r = derive_report(found, res["string_id"][sl], res["kmer_id"][sl],
+                          res["kmer_orientation"][sl], valid[sl], first[sl])
+        for k2 in want:
+            want[k2] += r[k2]
+    assert rep == want, (rep, want)
