@@ -200,3 +200,16 @@ def test_canonical_streaming(dict_k31_canonical, reads_sample):
         os.unlink(path)
     for key in want:
         assert got[key] == want[key], (key, got, want)
+
+
+def test_canonical_device_streaming_parity(dict_k31_canonical, reads_sample, tmp_path):
+    """Canonical-mode device streaming report == host report."""
+    path = str(tmp_path / "c.fq")
+    with open(path, "wb") as f:
+        for i, seq in enumerate(reads_sample[:100]):
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, seq, b"I" * len(seq)))
+    host = streaming_query_from_file(dict_k31_canonical, path)
+    dev = streaming_query_from_file(dict_k31_canonical, path, use_device=True, chunk=4096)
+    for key in ("num_kmers", "num_positive_kmers", "num_negative_kmers",
+                "num_invalid_kmers", "num_searches", "num_extensions"):
+        assert host[key] == dev[key], (key, host, dev)
