@@ -120,6 +120,54 @@ def compute_minimizer(kmers32, k, m, magic):
     return best_v, best_p
 
 
+def char_mmer_hashes(words32, n_chars_padded, m, magic):
+    """Per-CHAR m-mer mixer hashes over a packed buffer: h[c] = mixer(m-mer
+    starting at char c), and the RC-strand hashes. VPU-only (funnel shifts
+    over word lanes, no gathers). Returns (h_f u64 (C,), h_r u64 (C,))."""
+    C = n_chars_padded
+    # extract 2m bits at every char: char c = 16*wi + p reads word wi shifted
+    # by 2p; stacking the 16 phases then reshaping row-major yields char order
+    w0 = words32
+    w1 = jnp.concatenate([words32[1:], jnp.zeros((1,), U32)])
+    w2 = jnp.concatenate([words32[2:], jnp.zeros((2,), U32)])
+    nwords = (C + 15) // 16
+    los, his = [], []
+    for p in range(16):
+        b = 2 * p
+        if b == 0:
+            los.append(w0[:nwords])
+            his.append(w1[:nwords])
+        else:
+            los.append(((w0 >> b) | (w1 << (32 - b)))[:nwords])
+            his.append(((w1 >> b) | (w2 << (32 - b)))[:nwords])
+    lo = jnp.stack(los, axis=1).reshape(-1)[:C]
+    hi = jnp.stack(his, axis=1).reshape(-1)[:C]
+    v = u.and_(u.u64(hi, lo), u.const64((1 << (2 * m)) - 1))
+    h_f = u.mixer64(v, magic)
+    vr = revcomp_mmer64(v, m)
+    h_r = u.mixer64(vr, magic)
+    return h_f, h_r
+
+
+def sliding_min_u64(h, w):
+    """min over windows [c, c+w) of a u64 array (C,), via log-steps of
+    shifted mins (value-only; ties don't matter for equality tests)."""
+    cur = h
+    span = 1
+
+    def shift(x, s):
+        pad_hi = jnp.full((s,), 0xFFFFFFFF, dtype=U32)
+        return u.u64(jnp.concatenate([x.hi[s:], pad_hi]),
+                     jnp.concatenate([x.lo[s:], pad_hi]))
+
+    while span < w:
+        s = min(span, w - span)
+        sh = shift(cur, s)
+        cur = u.select(u.less(sh, cur), sh, cur)
+        span += s
+    return cur
+
+
 def crc32_word(x):
     """Reverse-complement 16 chars packed in a uint32 (device analog of
     reference crc64, kmer.hpp:141-157)."""

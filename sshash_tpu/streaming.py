@@ -293,6 +293,7 @@ class _DeviceStream:
             with ONE string-char comparison each (chain prefix-AND per row);
             broken chains fall back to compacted full lookups."""
             from .ops import packed as Pk
+            from .ops import u64 as u
 
             lane = jnp.arange(P_, dtype=I32)
             active = lane < count
@@ -341,41 +342,88 @@ class _DeviceStream:
             kid_l = (akid[:, None] + sgn * t).reshape(P_)
             ori_l = jnp.broadcast_to(aorient[:, None], (A, S)).reshape(P_)
 
-            # ---- phase 3: compacted fallback lookups for unresolved lanes
+            # ---- phase 3: fallback lookups with the negative-minimizer-run
+            # skip (reference streaming_query.hpp:150-157): consecutive
+            # unresolved positions with identical both-strand minimizer
+            # values form a RUN; one lookup per run head suffices to prove
+            # the whole run absent when its minimizer is not in the index.
             need = active & valid & ~found_l
             Wp = P_ // 8
-            rank = jnp.cumsum(need.astype(I32)) - 1
-            lane_ids = jnp.zeros((P_,), dtype=I32).at[
-                jnp.where(need, rank, P_)].set(lane, mode="drop")
-            totaln = rank[-1] + 1
 
-            def wbody(w, carry):
-                found_l, sid_l, kid_l, ori_l = carry
-                slot = w * Wp + jnp.arange(Wp, dtype=I32)
-                lid = jnp.take(lane_ids, jnp.clip(slot, 0, P_ - 1), mode="clip")
-                ok = slot < totaln
-                lp = jnp.take(pos, lid, mode="clip")
-                km = Pk.read_kmers_at(words32, jnp.where(ok, lp, U32j(0)), cfg.k)
-                r2 = lookup(arrs, km)
-                f2 = r2["found"] & ok
-                tgt = jnp.where(f2, lid, P_)
-                found_l = found_l.at[tgt].set(True, mode="drop")
-                sid_l = sid_l.at[tgt].set(r2["string_id"], mode="drop")
-                kid_l = kid_l.at[tgt].set(r2["kmer_id"], mode="drop")
-                ori_l = ori_l.at[tgt].set(r2["kmer_orientation"], mode="drop")
-                return found_l, sid_l, kid_l, ori_l
+            # both-strand minimizer hash per position (VPU-only + 4 gathers)
+            w_ = cfg.k - cfg.m + 1
+            h_f, h_r = Pk.char_mmer_hashes(words32, words32.shape[0] * 16,
+                                           cfg.m, u.const64(cfg.magic))
+            mh_f = Pk.sliding_min_u64(h_f, w_)
+            mh_r = Pk.sliding_min_u64(h_r, w_)
+            pmh_f = u.u64(jnp.take(mh_f.hi, pos.astype(I32), mode="clip"),
+                          jnp.take(mh_f.lo, pos.astype(I32), mode="clip"))
+            pmh_r = u.u64(jnp.take(mh_r.hi, pos.astype(I32), mode="clip"),
+                          jnp.take(mh_r.lo, pos.astype(I32), mode="clip"))
 
-            nw = (totaln + Wp - 1) // Wp
+            def prev64(v):
+                return u.u64(jnp.roll(v.hi, 1).at[0].set(0xFFFFFFFF),
+                             jnp.roll(v.lo, 1).at[0].set(0xFFFFFFFF))
 
-            def wcond(c):
-                return c[0] < nw
+            same_pair = (u.equal(pmh_f, prev64(pmh_f))
+                         & u.equal(pmh_r, prev64(pmh_r)) & ~first)
+            prev_need = jnp.roll(need, 1).at[0].set(False)
+            head = need & ~(prev_need & same_pair)
 
-            def wstep(c):
-                w, carry = c
-                return w + 1, wbody(w, carry)
+            # per-lane run-head lane index (segmented broadcast)
+            seg = jnp.cumsum(head.astype(I32)) - 1
+            nheads = seg[-1] + 1
+            head_lane = jnp.zeros((P_,), dtype=I32).at[
+                jnp.where(head, seg, P_)].set(lane, mode="drop")
 
-            _, (found_l, sid_l, kid_l, ori_l) = jax.lax.while_loop(
-                wcond, wstep, (jnp.int32(0), (found_l, sid_l, kid_l, ori_l)))
+            head_mf = jnp.zeros((P_,), dtype=bool)  # per-HEAD-rank mf flag
+
+            def run_windows(sel, nsel, carry, record_mf):
+                """Compacted full lookups over `sel` lanes (nsel = sel.sum())."""
+                found_l, sid_l, kid_l, ori_l, head_mf = carry
+                rank = jnp.cumsum(sel.astype(I32)) - 1
+                lids = jnp.zeros((P_,), dtype=I32).at[
+                    jnp.where(sel, rank, P_)].set(lane, mode="drop")
+
+                def wbody(w, carry):
+                    found_l, sid_l, kid_l, ori_l, head_mf = carry
+                    slot = w * Wp + jnp.arange(Wp, dtype=I32)
+                    lid = jnp.take(lids, jnp.clip(slot, 0, P_ - 1), mode="clip")
+                    ok = slot < nsel
+                    lp = jnp.take(pos, lid, mode="clip")
+                    km = Pk.read_kmers_at(words32, jnp.where(ok, lp, U32j(0)), cfg.k)
+                    r2 = lookup(arrs, km)
+                    f2 = r2["found"] & ok
+                    tgt = jnp.where(f2, lid, P_)
+                    found_l = found_l.at[tgt].set(True, mode="drop")
+                    sid_l = sid_l.at[tgt].set(r2["string_id"], mode="drop")
+                    kid_l = kid_l.at[tgt].set(r2["kmer_id"], mode="drop")
+                    ori_l = ori_l.at[tgt].set(r2["kmer_orientation"], mode="drop")
+                    if record_mf:
+                        # store minimizer_found per head RANK
+                        hrank = jnp.take(seg, jnp.clip(lid, 0, P_ - 1), mode="clip")
+                        head_mf = head_mf.at[jnp.where(ok, hrank, P_)].set(
+                            r2["minimizer_found"] | f2, mode="drop")
+                    return found_l, sid_l, kid_l, ori_l, head_mf
+
+                nw = (nsel + Wp - 1) // Wp
+                _, out = jax.lax.while_loop(
+                    lambda c: c[0] < nw,
+                    lambda c: (c[0] + 1, wbody(c[0], c[1])),
+                    (jnp.int32(0), carry))
+                return out
+
+            carry = (found_l, sid_l, kid_l, ori_l, head_mf)
+            carry = run_windows(head, nheads, carry, record_mf=True)
+            found_l, sid_l, kid_l, ori_l, head_mf = carry
+
+            # skip non-head run members whose head proved the minimizer pair
+            # absent; the rest (head found or minimizer present) round 2
+            my_mf = jnp.take(head_mf, jnp.clip(seg, 0, P_ - 1), mode="clip")
+            round2 = need & ~head & my_mf
+            n2 = round2.sum()
+            carry = run_windows(round2, n2, carry, record_mf=False)
+            found_l, sid_l, kid_l, ori_l, _ = carry
 
             # ---- derive the report counters (see module docstring)
             found = found_l & valid
