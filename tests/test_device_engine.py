@@ -68,3 +68,34 @@ def test_device_neighbours_match_oracle(dict_k31, rng):
     want = dict_k31.kmer_neighbours(kmers)
     np.testing.assert_array_equal(dev["kmer_id"][:, :4], want["forward"]["kmer_id"])
     np.testing.assert_array_equal(dev["kmer_id"][:, 4:], want["backward"]["kmer_id"])
+
+
+def test_skew_index_device_parity(rng):
+    """HEAVYLOAD path: m=9 forces buckets past 2^MIN_L into the skew index;
+    device lookup must stay bit-exact (engine.skew_eval vs oracle)."""
+    import numpy as np
+    from sshash_tpu import BuildConfig, Dictionary
+    from sshash_tpu import kmer as K
+    from sshash_tpu import oracle
+    from conftest import SE_K31
+
+    for canonical in (False, True):
+        d = Dictionary.build(SE_K31, BuildConfig(k=31, m=9, canonical=canonical,
+                                                 verbose=False))
+        idx = d.index
+        assert idx.stats["num_partitions"] > 0 and len(idx.heavy_load_buckets) > 0
+        eng = d.to_device()
+        assert eng.cfg.has_skew
+        ids = rng.integers(0, idx.num_kmers, 2048)
+        km = oracle.access(idx, ids)
+        km[:1024] = K.revcomp_kmers(km[:1024], 31)
+        want = oracle.lookup(idx, km)
+        got = eng.lookup(km)
+        for key in ("kmer_id", "kmer_offset", "string_id", "kmer_orientation"):
+            np.testing.assert_array_equal(got[key], want[key],
+                                          err_msg=f"{key} canonical={canonical}")
+        # negatives through the skew decode too
+        neg = rng.integers(0, 1 << 62, (2048, 1), dtype=np.uint64)
+        wantn = oracle.lookup(idx, neg)
+        gotn = eng.lookup(neg)
+        np.testing.assert_array_equal(gotn["kmer_id"], wantn["kmer_id"])
