@@ -10,6 +10,8 @@ NumPy; out-of-core sharding by minimizer-hash range is the multi-host path
 
 import json
 import time
+
+import numpy as np
 from dataclasses import dataclass
 
 
@@ -34,6 +36,8 @@ class BuildConfig:
     def validate(self):
         if self.k < 1 or self.m < 1 or self.m > self.k:
             raise ValueError(f"need 1 <= m <= k, got k={self.k} m={self.m}")
+        if self.m > 31:
+            raise ValueError("m must be <= 31 (minimizer values are uint64)")
         if self.k - self.m + 1 > 255:
             raise ValueError("k - m + 1 must fit in 8 bits")
 
@@ -55,6 +59,12 @@ def build(input_path, config: BuildConfig):
         return out
 
     parsed = timed("step 1 (encode strings)", lambda: parse_input(input_path, k, config.weighted))
+    # small-m warning (reference encode_strings.cpp:201-214): with m below
+    # ~log4(num_kmers)+1, buckets blow up and queries degrade sharply
+    rec_m = int(np.ceil(np.log(max(2, parsed.num_kmers)) / np.log(4))) + 1
+    if m < rec_m:
+        print(f"WARNING: m = {m} is small for {parsed.num_kmers} kmers; "
+              f"recommended m >= {rec_m} (query speed degrades with tiny m)")
     # sentinel pad so packed reads never go out of bounds (reference
     # encode_strings.cpp:183-188)
     words64 = timed("step 1b (pack 2-bit strings)",
