@@ -58,24 +58,37 @@ def build(input_path, config: BuildConfig):
             print(f"=== {name}: {dt:.3f} [sec]")
         return out
 
-    parsed = timed("step 1 (encode strings)", lambda: parse_input(input_path, k, config.weighted))
+    magic = mixer_magic(config.seed)
+
+    from .. import native
+
+    if native.available():
+        # fused streaming parse -> pack -> scan: bounded RAM (never holds
+        # whole-file byte codes; the reference's external-memory analog,
+        # builder/util.hpp:157-300, with chunks instead of tmp files)
+        parsed, words64, tuples = timed(
+            "steps 1-3 (stream parse + pack + scan + sort)",
+            lambda: _stream_parse_pack_scan(input_path, k, m, magic, config),
+        )
+    else:
+        parsed = timed("step 1 (encode strings)",
+                       lambda: parse_input(input_path, k, config.weighted))
+        # sentinel pad so packed reads never go out of bounds (reference
+        # encode_strings.cpp:183-188)
+        words64 = timed("step 1b (pack 2-bit strings)",
+                        lambda: K.pack_codes(parsed.codes, pad_words=K.num_words64(k) + 1))
+        tuples = timed(
+            "step 2+3 (compute + sort minimizer tuples)",
+            lambda: compute_tuples(words64, parsed.endpoints, k, m, magic,
+                                   config.canonical, codes=parsed.codes),
+        )
+
     # small-m warning (reference encode_strings.cpp:201-214): with m below
     # ~log4(num_kmers)+1, buckets blow up and queries degrade sharply
     rec_m = int(np.ceil(np.log(max(2, parsed.num_kmers)) / np.log(4))) + 1
     if m < rec_m:
         print(f"WARNING: m = {m} is small for {parsed.num_kmers} kmers; "
               f"recommended m >= {rec_m} (query speed degrades with tiny m)")
-    # sentinel pad so packed reads never go out of bounds (reference
-    # encode_strings.cpp:183-188)
-    words64 = timed("step 1b (pack 2-bit strings)",
-                    lambda: K.pack_codes(parsed.codes, pad_words=K.num_words64(k) + 1))
-
-    magic = mixer_magic(config.seed)
-    tuples = timed(
-        "step 2+3 (compute + sort minimizer tuples)",
-        lambda: compute_tuples(words64, parsed.endpoints, k, m, magic, config.canonical,
-                               codes=parsed.codes),
-    )
 
     steps_seen = []
     index = timed(
@@ -94,3 +107,62 @@ def build(input_path, config: BuildConfig):
               f"({ns_per_kmer:.1f} [ns/kmer])")
         print(json.dumps({kk: vv for kk, vv in stats.items() if not kk.startswith('step')}))
     return index
+
+
+def _stream_parse_pack_scan(input_path, k, m, magic, config, chunk_chars=1 << 26):
+    """Single pass over the input in ~chunk_chars blocks of whole sequences:
+    pack 2-bit strings incrementally and run the native tuple scanner per
+    block (sequence-relative, rebased to absolute afterwards). Peak RAM is
+    packed strings + tuples, independent of input size."""
+    from .. import native
+    from .minimizers import MinimizerTuples
+    from .parse import SequenceReader
+
+    reader = SequenceReader(input_path, k, config.weighted)
+    words_parts = []
+    carry = np.zeros(0, dtype=np.uint8)
+    t_min, t_pos, t_pik, t_cnt = [], [], [], []
+
+    buf, buf_lens, buf_chars, base = [], [], 0, 0
+
+    def flush():
+        nonlocal carry, base, buf, buf_lens, buf_chars
+        if not buf:
+            return
+        codes = np.concatenate(buf)
+        ep = np.zeros(len(buf_lens) + 1, dtype=np.int64)
+        np.cumsum(buf_lens, out=ep[1:])
+        mn, ps, pik, cnt = native.tuple_scan(codes, ep, k, m, magic, config.canonical)
+        t_min.append(mn)
+        t_pos.append(ps + np.uint64(base))
+        t_pik.append(pik)
+        t_cnt.append(cnt)
+        # incremental 2-bit packing (32-char word alignment via carry)
+        allc = np.concatenate([carry, codes]) if len(carry) else codes
+        n32 = (len(allc) // 32) * 32
+        if n32:
+            words_parts.append(K.pack_codes(allc[:n32]))
+        carry = allc[n32:]
+        base += len(codes)
+        buf, buf_lens, buf_chars = [], [], 0
+
+    for codes in reader:
+        buf.append(codes)
+        buf_lens.append(len(codes))
+        buf_chars += len(codes)
+        if buf_chars >= chunk_chars:
+            flush()
+    flush()
+    # tail + sentinel pad (reference encode_strings.cpp:183-188)
+    words_parts.append(K.pack_codes(carry, pad_words=K.num_words64(k) + 1))
+    words64 = np.concatenate(words_parts)
+
+    parsed = reader.finish(codes=None)
+    minimizer = np.concatenate(t_min) if t_min else np.zeros(0, np.uint64)
+    pos_in_seq = np.concatenate(t_pos) if t_pos else np.zeros(0, np.uint64)
+    pos_in_kmer = np.concatenate(t_pik) if t_pik else np.zeros(0, np.uint8)
+    count = np.concatenate(t_cnt) if t_cnt else np.zeros(0, np.uint8)
+    order = np.lexsort((pos_in_seq, minimizer))
+    tuples = MinimizerTuples(minimizer=minimizer[order], pos_in_seq=pos_in_seq[order],
+                             pos_in_kmer=pos_in_kmer[order], count=count[order])
+    return parsed, words64, tuples

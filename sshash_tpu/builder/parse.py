@@ -49,81 +49,93 @@ def _parse_weighted_header(line, k):
     return seq_len, weights
 
 
+class SequenceReader:
+    """Streaming sequence iterator: yields per-sequence 2-bit codes while
+    accumulating weight RLE intervals across sequence boundaries
+    (encode_strings.cpp:119-132). Inspect the accumulator fields after
+    exhausting the iterator."""
+
+    def __init__(self, path, k, weighted=False):
+        self.path = path
+        self.k = k
+        self.weighted = weighted
+        self.num_kmers = 0
+        self.max_len = 0
+        self.lengths = []
+        self.wvals = []
+        self.wlens = [0]
+        self.wcounts = {}
+        self._cur_val = None
+        self._cur_len = 0
+
+    def __iter__(self):
+        k = self.k
+        fmt_cf_seg = str(self.path).endswith((".cf_seg", ".cf_seg.gz"))
+        with _open(self.path) as f:
+            while True:
+                header = f.readline()
+                if not header:
+                    break
+                header = header.rstrip(b"\r\n")
+                if fmt_cf_seg:
+                    if not header:
+                        continue
+                    tab = header.index(b"\t")
+                    seq = header[tab + 1 :]
+                else:
+                    if not header:
+                        continue
+                    if self.weighted:
+                        seq_len, weights = _parse_weighted_header(header, k)
+                        for w in weights:
+                            wi = int(w)
+                            self.wcounts[wi] = self.wcounts.get(wi, 0) + 1
+                            if wi == self._cur_val:
+                                self._cur_len += 1
+                            else:
+                                if self._cur_val is not None:
+                                    self.wvals.append(self._cur_val)
+                                    self.wlens.append(self.wlens[-1] + self._cur_len)
+                                self._cur_val = wi
+                                self._cur_len = 1
+                    seq = f.readline().rstrip(b"\r\n")
+                    if not seq:
+                        break
+                n = len(seq)
+                if n < k:
+                    raise ValueError(f"sequence shorter than k: {n} < {k}")
+                codes, ok = K.encode_chars(seq)
+                if not ok.all():
+                    bad = np.flatnonzero(~ok)[0]
+                    raise ValueError(f"invalid character {chr(seq[bad])!r} in build input")
+                self.lengths.append(n)
+                self.num_kmers += n - k + 1
+                self.max_len = max(self.max_len, n)
+                yield codes
+        if self.weighted and self._cur_val is not None:
+            self.wvals.append(self._cur_val)
+            self.wlens.append(self.wlens[-1] + self._cur_len)
+            self._cur_val = None
+
+    def finish(self, codes=None):
+        """Build the ParsedInput from the accumulated state."""
+        if not self.lengths:
+            raise ValueError("empty input")
+        endpoints = np.zeros(len(self.lengths) + 1, dtype=np.uint64)
+        np.cumsum(self.lengths, out=endpoints[1:])
+        return ParsedInput(
+            codes=codes,
+            endpoints=endpoints,
+            num_kmers=self.num_kmers,
+            max_len=self.max_len,
+            weight_interval_values=np.array(self.wvals, dtype=np.uint64) if self.weighted else None,
+            weight_interval_lengths=np.array(self.wlens, dtype=np.uint64) if self.weighted else None,
+            weight_counts=self.wcounts if self.weighted else {},
+        )
+
+
 def parse_input(path, k, weighted=False):
     """Parse a build input file into concatenated 2-bit codes + boundaries."""
-    fmt_cf_seg = str(path).endswith((".cf_seg", ".cf_seg.gz"))
-
-    chunks = []
-    lengths = []
-    num_kmers = 0
-    max_len = 0
-
-    wvals = []
-    wlens = [0]
-    wcounts = {}
-    cur_val = None
-    cur_len = 0
-
-    with _open(path) as f:
-        while True:
-            header = f.readline()
-            if not header:
-                break
-            header = header.rstrip(b"\r\n")
-            if fmt_cf_seg:
-                # '<id>\t<seq>' on one line
-                if not header:
-                    continue
-                tab = header.index(b"\t")
-                seq = header[tab + 1 :]
-            else:
-                if not header:
-                    continue
-                if weighted:
-                    seq_len, weights = _parse_weighted_header(header, k)
-                    for w in weights:
-                        wi = int(w)
-                        wcounts[wi] = wcounts.get(wi, 0) + 1
-                        if wi == cur_val:
-                            cur_len += 1
-                        else:
-                            if cur_val is not None:
-                                wvals.append(cur_val)
-                                wlens.append(wlens[-1] + cur_len)
-                            cur_val = wi
-                            cur_len = 1
-                seq = f.readline().rstrip(b"\r\n")
-                if not seq:
-                    break
-            n = len(seq)
-            if n < k:
-                raise ValueError(f"sequence shorter than k: {n} < {k}")
-            codes, ok = K.encode_chars(seq)
-            if not ok.all():
-                bad = np.flatnonzero(~ok)[0]
-                raise ValueError(f"invalid character {chr(seq[bad])!r} in build input")
-            chunks.append(codes)
-            lengths.append(n)
-            num_kmers += n - k + 1
-            max_len = max(max_len, n)
-
-    if weighted and cur_val is not None:
-        wvals.append(cur_val)
-        wlens.append(wlens[-1] + cur_len)
-
-    if not chunks:
-        raise ValueError("empty input")
-
-    codes = np.concatenate(chunks)
-    endpoints = np.zeros(len(lengths) + 1, dtype=np.uint64)
-    np.cumsum(lengths, out=endpoints[1:])
-
-    return ParsedInput(
-        codes=codes,
-        endpoints=endpoints,
-        num_kmers=num_kmers,
-        max_len=max_len,
-        weight_interval_values=np.array(wvals, dtype=np.uint64) if weighted else None,
-        weight_interval_lengths=np.array(wlens, dtype=np.uint64) if weighted else None,
-        weight_counts=wcounts if weighted else {},
-    )
+    reader = SequenceReader(path, k, weighted)
+    chunks = list(reader)
+    return reader.finish(codes=np.concatenate(chunks) if chunks else None)

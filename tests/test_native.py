@@ -52,3 +52,34 @@ def test_pilot_search_matches_numpy():
     np.testing.assert_array_equal(f1.remap, f2.remap)
     pos = f1(keys)
     assert len(np.unique(pos)) == len(keys)
+
+
+def test_stream_build_chunking_bit_identical():
+    """Multi-chunk streaming build (carry-aligned packing + tuple rebase)
+    must equal the single-chunk result, and the whole streaming path must
+    equal the NumPy-fallback build bit-for-bit."""
+    import sshash_tpu.native as nat
+    from sshash_tpu import BuildConfig, Dictionary
+    from sshash_tpu.builder.build import _stream_parse_pack_scan
+    from sshash_tpu.hashing import mixer_magic
+
+    p = "/root/reference/data/unitigs_stitched/ecoli1_k31_ust.fa.gz"
+    cfg = BuildConfig(k=31, m=13, verbose=False)
+    magic = mixer_magic(cfg.seed)
+    pa, wa, ta = _stream_parse_pack_scan(p, 31, 13, magic, cfg)
+    pb, wb, tb = _stream_parse_pack_scan(p, 31, 13, magic, cfg, chunk_chars=100_000)
+    np.testing.assert_array_equal(wa, wb)
+    for f in ("minimizer", "pos_in_seq", "pos_in_kmer", "count"):
+        np.testing.assert_array_equal(getattr(ta, f), getattr(tb, f))
+
+    d1 = Dictionary.build(p, cfg)
+    saved = (nat._lib, nat._tried)
+    nat._lib, nat._tried = None, True
+    try:
+        d2 = Dictionary.build(p, cfg)
+    finally:
+        nat._lib, nat._tried = saved
+    for name in ("strings64", "string_endpoints", "codewords",
+                 "mid_load_buckets", "heavy_load_buckets"):
+        np.testing.assert_array_equal(getattr(d1.index, name),
+                                      getattr(d2.index, name), err_msg=name)
