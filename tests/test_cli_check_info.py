@@ -103,3 +103,32 @@ def test_save_load_roundtrip_queries(built):
     np.savez_compressed(bad, **arrays)
     with pytest.raises(RuntimeError, match="rebuild"):
         Dictionary.load(bad)
+
+
+def test_cf_seg_format(tmp_path):
+    """cf_seg build inputs: '<id>\\t<sequence>' lines (encode_strings.cpp)."""
+    import numpy as np
+    from sshash_tpu import BuildConfig, Dictionary
+    from sshash_tpu.oracle import access, lookup
+
+    rng = np.random.default_rng(11)
+    path = str(tmp_path / "in.cf_seg")
+    with open(path, "w") as f:
+        for i in range(30):
+            seq = "".join("ACGT"[c] for c in rng.integers(0, 4, 90))
+            f.write(f"{i}\t{seq}\n")
+    d = Dictionary.build(path, BuildConfig(k=21, m=9, verbose=False))
+    ids = np.arange(0, d.num_kmers(), 13)
+    res = lookup(d.index, access(d.index, ids))
+    np.testing.assert_array_equal(res["kmer_id"], ids.astype(np.uint64))
+
+
+def test_invalid_char_rejected(tmp_path):
+    import pytest
+    from sshash_tpu import BuildConfig, Dictionary
+
+    path = str(tmp_path / "bad.fa")
+    with open(path, "w") as f:
+        f.write(">0\n" + "ACGT" * 10 + "N" + "ACGT" * 10 + "\n")
+    with pytest.raises(ValueError, match="invalid character"):
+        Dictionary.build(path, BuildConfig(k=21, m=9, verbose=False))
