@@ -255,6 +255,7 @@ class _DeviceStream:
         self._seqs = []  # (bytes, is_read_start)
         self._pending = 0
         self._carry = None
+        self._inflight = []  # queued (device outputs, starts_fresh) per chunk
         self.report = dict.fromkeys(
             ["num_kmers", "num_positive_kmers", "num_negative_kmers",
              "num_invalid_kmers", "num_searches", "num_extensions"], 0)
@@ -513,18 +514,21 @@ class _DeviceStream:
         rfirst = np.zeros(R // 32 + 1, dtype=np.uint32)
         rfirst[: (len(fb) + 3) // 4] = np.pad(fb, (0, (-len(fb)) % 4)).view(np.uint32)
 
-        counters, lane0, lastv = self._step(
+        out = self._step(
             self.engine.arrs, jnp.asarray(words32), jnp.asarray(rstart),
             jnp.asarray(rnpos), jnp.asarray(rfirst), jnp.asarray(valid_bits),
             jnp.uint32(count), jnp.uint32(len(lens)))
-        counters = np.asarray(counters).astype(np.int64)
-        lane0 = np.asarray(lane0)
-        lastv = np.asarray(lastv)
+        # defer the scalar fetch: dispatches stay queued on the device so
+        # consecutive chunks pipeline; results fold at finalize()
+        self._inflight.append((out, bool(starts_flag[0])))
 
+    def _fold(self, out, chunk_starts_fresh):
+        counters, lane0, lastv = (np.asarray(x) for x in out)
+        counters = counters.astype(np.int64)
         n_kmers, n_pos, n_ext, n_inv = counters
         # stitch adjacency across the previous chunk boundary (the first
         # segment of this chunk may continue a split read)
-        if self._carry is not None and not starts_flag[0]:
+        if self._carry is not None and not chunk_starts_fresh:
             c_found, c_sid, c_kid, c_orient = self._carry
             co = np.int64(np.int32(lane0[3]))
             if (c_found and lane0[0]
@@ -542,6 +546,9 @@ class _DeviceStream:
 
     def finalize(self):
         self.flush()
+        for out, fresh in self._inflight:
+            self._fold(out, fresh)
+        self._inflight = []
         r = self.report
         assert r["num_kmers"] == (
             r["num_positive_kmers"] + r["num_negative_kmers"] + r["num_invalid_kmers"])
