@@ -1,21 +1,33 @@
 """JAX device query engine — batched, jitted, TPU-native.
 
 The index lives on device as a pytree of uint32 arrays; every query API is a
-large-batch array program:
+large-batch array program. The design minimizes DEPENDENT GATHER ROUNDS
+(each round costs a full-batch random-access pass over HBM):
 
-  * minimizer computation: unrolled window scan on the VPU (ops/packed.py);
-  * MPHF evaluation: 2 gathers + integer mixing (mphf.py docstring);
-  * codeword decode: pre-expanded at load into (status, a, b) arrays so the
-    device does one gather instead of bit-unpacking (semantics identical to
-    reference sparse_and_skew_index.hpp:112-137);
-  * candidate verification: a `lax.while_loop` over bucket slots, all lanes
-    masked — typical buckets resolve in 1-2 iterations;
-  * string-id resolution: vectorized searchsorted over string endpoints
-    (replaces Elias-Fano locate / binary search, offsets.hpp:41-65).
+  * minimizer computation: unrolled window scan, pure VPU (ops/packed.py);
+  * MPHF evaluation: ONE pilot gather — tables are re-keyed by the raw hash
+    slot at load (_expand_to_slots), so no remap gather or minimal-position
+    fix-up (semantics equal to mphf.MPHF.eval_hashes);
+  * codeword decode + first candidate: ONE row gather from cw_row[slot] =
+    [status|b<<2, a, candidate0] (bit semantics of reference
+    sparse_and_skew_index.hpp:112-137 / build_sparse_and_skew_index.cpp);
+  * candidate 0 verification: one packed-string window read that doubles as
+    the minimizer-guard read (spss:47-65), guard m-mer extracted in-register
+    at a dynamic bit offset; a failed guard deactivates the lane (no
+    candidate can match, see lookup_with_info);
+  * candidates 1..size-1 (midload) are COMPACTED into dense (lane, j) pair
+    windows — work proportional to actual bucket content, not
+    max_bucket x batch;
+  * the regular-mode RC fallback and canonical tie retry run as compacted
+    windows over actual misses/ties (dense full-width pass only for
+    mostly-miss batches — nested while_loops schedule poorly);
+  * id resolution: ONE block-row gather sid_rows[offset>>5] =
+    [sid, ep[sid..sid+C+1]] + in-register fix-up (replaces Elias-Fano
+    locate / binary search, offsets.hpp:41-65).
 
 64-bit quantities are (hi, lo) uint32 pairs (ops/u64.py) — no int64 on
 device. Char offsets / ids are uint32 (one shard handles < 2^32 chars; larger
-sets shard by minimizer across devices, see parallel/).
+sets shard by minimizer slot range across devices, see parallel/).
 """
 
 
