@@ -132,3 +132,12 @@ def test_invalid_char_rejected(tmp_path):
         f.write(">0\n" + "ACGT" * 10 + "N" + "ACGT" * 10 + "\n")
     with pytest.raises(ValueError, match="invalid character"):
         Dictionary.build(path, BuildConfig(k=21, m=9, verbose=False))
+
+
+def test_cli_bench_device(built, capsys):
+    from sshash_tpu.tools.cli import main
+
+    assert main(["bench", "-i", built, "--batch", "2048", "--runs", "1"]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for key in ("positive_lookup", "negative_lookup", "access", "iterator"):
+        assert f"{key} (avg_nanosec_per_kmer)" in rows

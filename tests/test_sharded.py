@@ -90,3 +90,18 @@ def test_sharded_stream_report(dict_k31, rng):
         for k2 in want:
             want[k2] += r[k2]
     assert rep == want, (rep, want)
+
+
+def test_sharded_from_loaded_index(dict_k31, tmp_path, rng):
+    """save -> load -> shard across a mesh must stay bit-exact."""
+    from sshash_tpu.dictionary import Dictionary
+    from sshash_tpu.parallel import ShardedEngine
+
+    path = str(tmp_path / "idx.npz")
+    dict_k31.save(path)
+    d2 = Dictionary.load(path)
+    eng = ShardedEngine(d2.index, _mesh(2, 4))
+    kmers = _mixed_batch(d2.index, rng, n=256)
+    want = oracle.lookup(dict_k31.index, kmers)
+    got, _ = eng.lookup(kmers)
+    np.testing.assert_array_equal(got["kmer_id"], want["kmer_id"])
