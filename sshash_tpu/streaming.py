@@ -254,6 +254,7 @@ class _DeviceStream:
         self.CW = (pmax + (self.R * (k - 1)) + 31) // 32 + 4  # u32 words of chars
         self._seqs = []  # (bytes, is_read_start)
         self._pending = 0
+        self._chars = 0
         self._carry = None
         self._inflight = []  # queued (device outputs, starts_fresh) per chunk
         self.report = dict.fromkeys(
@@ -466,10 +467,11 @@ class _DeviceStream:
         npos = len(seq) - self.k + 1
         if (self._pending + npos > self.P // 2
                 or len(self._seqs) + 1 > self.R
-                or sum(len(s) for s, _ in self._seqs) + len(seq) > self.CW * 16):
+                or self._chars + len(seq) > self.CW * 16):
             self.flush()
         self._seqs.append((seq, is_start))
         self._pending += npos
+        self._chars += len(seq)
 
     def flush(self):
         if not self._pending:
@@ -482,6 +484,7 @@ class _DeviceStream:
         self._seqs = []
         count = self._pending
         self._pending = 0
+        self._chars = 0
 
         lens = np.array([len(s) for s in seqs], dtype=np.int64)
         codes, ok = K.encode_chars(b"".join(seqs))
