@@ -117,8 +117,19 @@ def _device_arrays(index):
         _expand_to_slots(a.astype(np.uint32), f),
         _expand_to_slots(cand0, f),
     ], axis=1)
+    s32 = K.pack_words_to_u32(index.strings64)
+    # interleaved (word, valid-start bits) rows: verify reads fetch the
+    # acceptance bit in the SAME row gather as the kmer chars
+    vb16 = np.zeros(len(s32), dtype=np.uint32)
+    vbits = np.packbits(vstart, bitorder="little")
+    vb = np.zeros(2 * len(s32), dtype=np.uint8)
+    vb[: len(vbits)] = vbits
+    vb16[:] = vb[0::2].astype(np.uint32) | (vb[1::2].astype(np.uint32) << 8)
+    strings_v32 = np.stack([s32, vb16], axis=1)
+
     arrs = {
-        "strings32": K.pack_words_to_u32(index.strings64),
+        "strings32": s32,
+        "strings_v32": strings_v32,
         "vstart": vwords,
         "endpoints": index.string_endpoints.astype(np.uint32),
         "sid_rows": sid_rows,
@@ -312,8 +323,8 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
             can = cand >= pos_try
             if guard and t == 0:
                 base = cand - jnp.minimum(pos_try, cand)
-                read = P.read_kmers_at(arrs["strings32"],
-                                       jnp.where(active, base, U32(0)), k)
+                read, vbit = P.read_kmers_at2(arrs["strings_v32"],
+                                              jnp.where(active, base, U32(0)), k)
                 gv = P.extract_window_dyn(read, (cand - base) * U32(2), 2 * m)
                 guard_ok = u.equal(gv, minval)
                 if canonical:
@@ -323,8 +334,9 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
             else:
                 ok = active & ~match & can
                 ko = jnp.where(ok, cand - pos_try, U32(0))
-                read = P.read_kmers_at(arrs["strings32"], jnp.where(ok, ko, U32(0)), k)
-            ok &= _valid_start(arrs, ko)
+                read, vbit = P.read_kmers_at2(arrs["strings_v32"],
+                                              jnp.where(ok, ko, U32(0)), k)
+            ok &= vbit
             if canonical:
                 eq_f = P.kmer_equal(read, lane_kmers)
                 eq_r = P.kmer_equal(read, lane_kmers_rc)

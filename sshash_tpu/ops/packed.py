@@ -30,6 +30,24 @@ def mask_last_word(words, k):
     return words.at[..., W - 1].set(words[..., W - 1] & mask)
 
 
+def read_kmers_at2(strings_v32, offsets, k):
+    """Like read_kmers_at but over the interleaved (NW, 2) table whose col0
+    is the packed word and col1 carries the 16 valid-start bits of that
+    word's char offsets. Returns (kmers (B, W32), valid_start_bit (B,)) —
+    the acceptance test rides the same row gather."""
+    W = num_words32(k)
+    offsets = offsets.astype(U32)
+    widx = (offsets >> 4).astype(jnp.int32)
+    sh = (2 * (offsets & 15)).astype(U32)[:, None]
+    idx = widx[:, None] + jnp.arange(W + 1, dtype=jnp.int32)[None, :]
+    rows = jnp.take(strings_v32, idx, axis=0, mode="clip")  # (B, W+1, 2)
+    g = rows[:, :, 0]
+    lo = g[:, :W] >> sh
+    hi = jnp.where(sh == 0, U32(0), g[:, 1:] << ((U32(32) - sh) & U32(31)))
+    vbit = ((rows[:, 0, 1] >> (offsets & U32(15))) & U32(1)) != 0
+    return mask_last_word(lo | hi, k), vbit
+
+
 def read_kmers_at(strings32, offsets, k):
     """Gather k-char windows at `offsets` (uint32 (B,)) from the packed
     strings (uint32 (NW,), sentinel-padded). Returns (B, W32) uint32."""
