@@ -29,6 +29,8 @@ CASES = [
     (5, 21, 9, False, True, 50, 21, 100),     # weighted
     (6, 63, 25, True, False, 20, 63, 260),    # two-word kmers
     (7, 13, 5, False, False, 80, 13, 40),     # tiny k, strings near k
+    (8, 31, 13, True, True, 40, 31, 120),     # weighted + canonical combo
+    (9, 47, 17, False, False, 25, 47, 200),   # k=47 (reference mid-size)
 ]
 
 
