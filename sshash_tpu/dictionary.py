@@ -181,10 +181,11 @@ class Dictionary:
 
     # ------------------------------------------------------------- streaming
 
-    def streaming_query_from_file(self, path, multiline=False):
+    def streaming_query_from_file(self, path, multiline=False, use_device=False):
         from .streaming import streaming_query_from_file
 
-        return streaming_query_from_file(self, path, multiline=multiline)
+        return streaming_query_from_file(self, path, multiline=multiline,
+                                         use_device=use_device)
 
     # ------------------------------------------------------------- info
 

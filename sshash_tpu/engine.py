@@ -248,14 +248,6 @@ def _empty_res(B):
     }
 
 
-def _valid_start(arrs, ko):
-    """Bit test: may a kmer start at char offset ko? (one gather; equivalent
-    to the reference's per-candidate acceptance via offset_to_id,
-    spss::_lookup_regular:227-235)."""
-    w = _take(arrs["vstart"], ko >> U32(5))
-    return ((w >> (ko & U32(31))) & U32(1)) != 0
-
-
 def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
     """Shared probe kernel. Regular mode: kmers_rc32 is None.
     Canonical mode: candidates verified at two pos_in_kmer values against both
