@@ -67,8 +67,14 @@ class SequenceReader:
         self.wcounts = {}
         self._cur_val = None
         self._cur_len = 0
+        self._consumed = False
 
     def __iter__(self):
+        # the accumulators (lengths, num_kmers, weight RLE state) are
+        # single-shot; a second pass would silently double-count
+        if self._consumed:
+            raise RuntimeError("SequenceReader is single-pass; create a new one")
+        self._consumed = True
         k = self.k
         fmt_cf_seg = str(self.path).endswith((".cf_seg", ".cf_seg.gz"))
         with _open(self.path) as f:

@@ -74,7 +74,9 @@ def parse_weighted_headers(path, k):
             header = header.rstrip(b"\r\n")
             seq = f.readline().rstrip(b"\r\n")
             if len(seq) < k:
-                continue
+                # match the build parser: dropping records would silently
+                # change the collection's kmer/weight content
+                raise ValueError(f"sequence shorter than k: {len(seq)} < {k}")
             idx = header.index(b"ab:Z:") + 5
             weights = header[idx:].split()
             ln = int(header[header.index(b"LN:i:") + 5 :].split()[0])
@@ -360,7 +362,7 @@ def permute_file(input_path, k, output_path):
             header = header.rstrip(b"\r\n")
             seq = f.readline().rstrip(b"\r\n")
             if len(seq) < k:
-                continue
+                raise ValueError(f"sequence shorter than k: {len(seq)} < {k}")
             if not signs[i]:
                 seq = K.revcomp_str(seq).encode()
                 header = _reverse_header(header, k)

@@ -209,6 +209,21 @@ class StaticCfg:
         self.max_bucket_size = index.stats.get("max_bucket_size", 1 << 6)
         # static: no skew partitions -> HEAVYLOAD never occurs, skip its kernel
         self.has_skew = any(p.mphf.n > 0 for p in index.skew_partitions)
+        # true max string crossings per 32-KMER-ID block (for make_access).
+        # Unlike char-offset space (where strings >= k chars bound crossings
+        # by 32//k+1), a string can contribute a single kmer, so up to 32
+        # strings can start inside one 32-id block — compute the real bound.
+        ep = index.string_endpoints.astype(np.int64)
+        kmer_cum = ep - np.arange(len(ep)) * (index.k - 1)
+        nk = int(index.num_kmers)
+        if nk > 0:
+            blk = np.arange((nk + 31) // 32, dtype=np.int64) * 32
+            lo = np.searchsorted(kmer_cum, blk, side="right")
+            hi = np.searchsorted(kmer_cum, np.minimum(blk + 31, nk - 1),
+                                 side="right")
+            self.access_C = max(1, int((hi - lo).max()))
+        else:
+            self.access_C = 1
 
 
 def mphf_eval_minimizer(cfg, arrs, minval):
@@ -593,9 +608,12 @@ def _merge(res_a, res_b, use_b, use_b_flags):
 
 def make_access(cfg):
     """ids -> packed kmers; string resolution via the kmer-id block-hint
-    table (2 gathers) instead of a searchsorted (offsets.hpp:41-65)."""
+    table (2 gathers) instead of a searchsorted (offsets.hpp:41-65).
+    The crossing bound C is the build-time measured max number of string
+    starts inside any 32-id block (cfg.access_C) — NOT 32//k+1, which only
+    bounds char-offset space."""
     k = cfg.k
-    C = 32 // k + 1
+    C = cfg.access_C
 
     def fn(arrs, ids):
         hint = _take(arrs["sidk32"], ids >> U32(5)).astype(I32)

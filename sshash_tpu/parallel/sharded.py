@@ -307,8 +307,13 @@ class ShardedEngine:
         dev = jax.device_put(jnp.asarray(kmers32), self._kmer_sharding)
         res, report = self.lookup_device(dev)
         res = jax.tree.map(np.asarray, res)
+        report = jax.tree.map(int, report)
+        if pad:
+            # the device report counted the padded lanes; correct it here
+            report["num_kmers"] -= pad
+            report["num_positive"] -= int(res["found"][n:].sum())
         res = {key: v[:n] for key, v in res.items()}
-        return _to_host_result(res), jax.tree.map(int, report)
+        return _to_host_result(res), report
 
 
     def stream_report(self, kmers64, valid, first):
