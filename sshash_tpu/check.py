@@ -99,31 +99,85 @@ def check_string_iterator(index):
     return True
 
 
-def check_navigation(index, dictionary, num=256, seed=1):
-    """Navigational query check (check.hpp:99-174 style): the true next/prev
-    kmers in each string must appear in the neighbourhood."""
-    rng = np.random.default_rng(seed)
+def check_navigation(index, dictionary, num=None, seed=1, batch=1 << 15,
+                     engine=None, verbose=False):
+    """Navigational query check (check_from_file.hpp:174-226 style): the true
+    next/prev kmers in each string must appear in the neighbourhood. Sweeps
+    EVERY id when num is None (default), batched; pass num for a sample."""
     ep = index.string_endpoints.astype(np.int64)
     k = index.k
     kmer_cum = ep - np.arange(len(ep)) * (k - 1)
-    ids = rng.integers(0, index.num_kmers, num)
-    sid = np.searchsorted(kmer_cum, ids, side="right") - 1
-    off = ids + sid * (k - 1)
-    # only positions with a forward neighbour inside the string
-    has_next = off + k < ep[sid + 1]
-    ids_n = ids[has_next]
-    off_n = off[has_next]
-    kmers = K.read_kmers_at(index.strings64, off_n, k)
-    nxt = dictionary.kmer_forward_neighbours(kmers)
-    found_next = (nxt["kmer_id"] == (ids_n + 1).astype(np.uint64)[:, None]).any(axis=1)
-    assert found_next.all(), "forward neighbour missing"
-    has_prev = off > ep[sid]
-    ids_p = ids[has_prev]
-    off_p = off[has_prev]
-    kmers_p = K.read_kmers_at(index.strings64, off_p, k)
-    prv = dictionary.kmer_backward_neighbours(kmers_p)
-    found_prev = (prv["kmer_id"] == (ids_p - 1).astype(np.uint64)[:, None]).any(axis=1)
-    assert found_prev.all(), "backward neighbour missing"
+    if num is None:
+        ids_all = np.arange(index.num_kmers, dtype=np.int64)
+    else:
+        ids_all = np.random.default_rng(seed).integers(0, index.num_kmers, num)
+    for lo in range(0, len(ids_all), batch):
+        ids = ids_all[lo : lo + batch]
+        sid = np.searchsorted(kmer_cum, ids, side="right") - 1
+        off = ids + sid * (k - 1)
+        kmers = K.read_kmers_at(index.strings64, off, k)
+        if engine is not None:
+            nb = engine.kmer_neighbours(kmers)
+            fwd_ids = nb["kmer_id"][:, :4]
+            bwd_ids = nb["kmer_id"][:, 4:]
+        else:
+            fwd_ids = dictionary.kmer_forward_neighbours(kmers)["kmer_id"]
+            bwd_ids = dictionary.kmer_backward_neighbours(kmers)["kmer_id"]
+        want = ids.astype(np.uint64)
+        has_next = off + k < ep[sid + 1]
+        found_next = (fwd_ids == (want + 1)[:, None]).any(axis=1)
+        assert found_next[has_next].all(), "forward neighbour missing"
+        has_prev = off > ep[sid]
+        found_prev = (bwd_ids == (want - 1)[:, None]).any(axis=1)
+        assert found_prev[has_prev].all(), "backward neighbour missing"
+        if verbose:
+            print(f"checked navigation for ids [{lo}, {lo + len(ids)})")
+    return True
+
+
+def check_navigational_string_queries(index, dictionary, batch=4096,
+                                      verbose=False):
+    """EVERY string: string-level neighbours (prefix/suffix construction)
+    must equal kmer-level neighbours at the string's first/last kmer, on all
+    result fields incl. orientation (check.hpp:99-174, equal_lookup_result).
+    Batched over strings instead of the reference's thread shards."""
+    from .dictionary import _shift_up_one_char
+
+    ep = index.string_endpoints.astype(np.int64)
+    k = index.k
+    ns = index.num_strings
+    pw = K.num_words64(k)
+    fields = ("kmer_id", "kmer_id_in_string", "kmer_offset", "string_id",
+              "string_begin", "string_end", "kmer_orientation")
+    for lo in range(0, ns, batch):
+        sids = np.arange(lo, min(lo + batch, ns))
+        b, e = ep[sids], ep[sids + 1]
+        # kmer-level path: full first/last kmers
+        first = K.read_kmers_at(index.strings64, b, k)
+        last = K.read_kmers_at(index.strings64, e - k, k)
+        bwd = dictionary.kmer_backward_neighbours(first)
+        fwd = dictionary.kmer_forward_neighbours(last)
+        # string-level path: k-1-char suffix/prefix like string_neighbours
+        suffix = K.read_kmers_at(index.strings64, e - (k - 1), k - 1)
+        prefix = K.read_kmers_at(index.strings64, b, k - 1)
+        suf = np.zeros((len(sids), pw), dtype=np.uint64)
+        suf[:, : suffix.shape[1]] = suffix
+        prep = np.zeros((len(sids), pw), dtype=np.uint64)
+        prep[:, : prefix.shape[1]] = prefix
+        pre = _shift_up_one_char(prep, k)
+        sfwd = dictionary._neighbours(suf, True, True, pre_shifted=True)
+        sbwd = dictionary._neighbours(pre, False, True, pre_shifted=True)
+        for key in fields:
+            if not np.array_equal(sfwd[key], fwd[key]):
+                bad = int(np.argwhere(sfwd[key] != fwd[key])[0][0])
+                raise AssertionError(
+                    f"string {sids[bad]}: forward {key} string-level != kmer-level")
+            if not np.array_equal(sbwd[key], bwd[key]):
+                bad = int(np.argwhere(sbwd[key] != bwd[key])[0][0])
+                raise AssertionError(
+                    f"string {sids[bad]}: backward {key} string-level != kmer-level")
+        if verbose:
+            print(f"checked strings [{lo}, {lo + len(sids)})")
     return True
 
 
@@ -138,13 +192,22 @@ def check_weights(index, parsed_weights):
     return True
 
 
-def check_all(dictionary, verbose=False, engine=None):
+def check_all(dictionary, verbose=False, engine=None, navigation_sample="auto"):
+    """Full suite: every id round-trips, every id's neighbourhood is
+    navigable, every string's string-level vs kmer-level neighbours agree
+    (reference sshash check, tools/sshash.cpp:20-37). Navigation sweeps ALL
+    ids when a device engine is provided (or navigation_sample=None); the
+    oracle-only path samples by default (8 host lookups per id)."""
     index = dictionary.index
     check_dictionary(index, verbose=verbose, engine=engine)
     hits = check_negative_lookups(index, engine=engine)
     check_iterator(index)
     check_string_iterator(index)
-    check_navigation(index, dictionary)
+    if navigation_sample == "auto":
+        navigation_sample = None if engine is not None else 8192
+    check_navigation(index, dictionary, num=navigation_sample, engine=engine,
+                     verbose=verbose)
+    check_navigational_string_queries(index, dictionary, verbose=verbose)
     if verbose:
         print(f"check_all OK (negative probe hits: {hits})")
     return True

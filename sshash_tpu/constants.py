@@ -13,8 +13,17 @@ SEED = 1  # default build seed (reference: constants.hpp:7)
 # Skew-index thresholds (reference: constants.hpp:13-16): buckets with more than
 # 2**MIN_L distinct minimizer positions go to the skew index; at most
 # MAX_L - MIN_L + 1 = 8 partitions so a partition id fits in 3 bits.
-MIN_L = 6
-MAX_L = 13
+# The reference sweeps these by editing constants.hpp and RECOMPILING
+# (script/sweep-min-l.py:34-70); the process-level analog here is an env
+# override read once at import (see scripts/sweep_min_l.py). MIN_L is part
+# of the codeword bit format, so indexes record it and loading checks it.
+import os as _os
+
+MIN_L = int(_os.environ.get("SSHASH_MIN_L", "6"))
+MAX_L = int(_os.environ.get("SSHASH_MAX_L", str(MIN_L + 7)))
+if not (1 <= MIN_L <= MAX_L) or MAX_L - MIN_L + 1 > 8:
+    raise ValueError(f"need MIN_L <= MAX_L <= MIN_L+7 (3-bit partition ids), "
+                     f"got {MIN_L}..{MAX_L}")
 
 # PTHash-analog MPHF tuning (reference: constants.hpp:10-11). LAMBDA is the
 # average bucket size of the pilot search; ALPHA the table load factor.

@@ -124,6 +124,31 @@ class Index:
     # ------------------------------------------------------------ save / load
 
     def save(self, path):
+        """Serialize. Two at-rest formats:
+
+        * ``*.npz`` (default): one deflate-compressed npz — smallest on disk
+          (reaches succinct-structure sizes, see BENCH_NOTES), but every load
+          pays a full decompress.
+        * directory (path without ``.npz``): one raw ``.npy`` per array +
+          ``meta.json``, loaded with ``np.load(mmap_mode='r')`` — the analog
+          of the reference's ``--mmap`` zero-copy load
+          (reference: tools/common.hpp:19-29): load time is O(metadata) and
+          pages fault in on first touch.
+        """
+        arrays, meta = self._arrays_and_meta()
+        if not str(path).endswith(".npz"):
+            import os
+
+            os.makedirs(path, exist_ok=True)
+            for name, arr in arrays.items():
+                np.save(os.path.join(path, name + ".npy"), arr)
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump(meta, f)
+            return
+        arrays["meta_json"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+        np.savez_compressed(path, **arrays)
+
+    def _arrays_and_meta(self):
         arrays = {
             "strings64": self.strings64,
             "string_endpoints": self.string_endpoints,
@@ -138,6 +163,7 @@ class Index:
             "version": list(VERSION),
             "k": self.k,
             "m": self.m,
+            "min_l": MIN_L,
             "canonical": self.canonical,
             "seed": self.seed,
             "num_kmers": self.num_kmers,
@@ -159,15 +185,34 @@ class Index:
             arrays["weights_value_ids"] = self.weights.interval_value_ids
             arrays["weights_endpoints"] = self.weights.interval_endpoints
             arrays["weights_dictionary"] = self.weights.dictionary
-        arrays["meta_json"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
-        np.savez_compressed(path, **arrays)
+        return arrays, meta
 
     @classmethod
     def load(cls, path):
-        z = np.load(path)
-        meta = json.loads(bytes(z["meta_json"]).decode())
+        """Load either at-rest format (see save). Directory indexes are
+        memory-mapped: O(metadata) load, zero-copy until first touch."""
+        import os
+
+        if os.path.isdir(path):
+            with open(os.path.join(path, "meta.json")) as f:
+                meta = json.load(f)
+
+            class _Dir:
+                def __getitem__(self, name):
+                    return np.load(os.path.join(path, name + ".npy"),
+                                   mmap_mode="r")
+
+            z = _Dir()
+        else:
+            z = np.load(path)
+            meta = json.loads(bytes(z["meta_json"]).decode())
         if meta["version"][0] != VERSION[0]:
             raise RuntimeError("MAJOR index version mismatch: index needs rebuilding")
+        if meta.get("min_l", 6) != MIN_L:
+            raise RuntimeError(
+                f"index was built with MIN_L={meta.get('min_l', 6)} but this "
+                f"process uses MIN_L={MIN_L} (codeword formats differ): "
+                f"rebuild, or set SSHASH_MIN_L={meta.get('min_l', 6)}")
         skew = []
         for i, sm in enumerate(meta["skew_mphfs"]):
             skew.append(

@@ -17,7 +17,10 @@ def _add_build(sub):
     p.add_argument("-k", type=int, required=True)
     p.add_argument("-m", type=int, required=True)
     p.add_argument("-s", "--seed", type=int, default=None)
-    p.add_argument("-o", "--output", default=None, help="serialize index to this .npz path")
+    p.add_argument("-o", "--output", default=None,
+                   help="serialize index here: *.npz = compressed single file;"
+                        " any other path = directory of raw .npy arrays,"
+                        " loaded zero-copy via mmap (the reference's --mmap)")
     p.add_argument("--canonical", action="store_true")
     p.add_argument("--weighted", action="store_true")
     p.add_argument("--check", action="store_true", help="run the full check suite after building")

@@ -31,6 +31,9 @@ CASES = [
     (7, 13, 5, False, False, 80, 13, 40),     # tiny k, strings near k
     (8, 31, 13, True, True, 40, 31, 120),     # weighted + canonical combo
     (9, 47, 17, False, False, 25, 47, 200),   # k=47 (reference mid-size)
+    (10, 65, 21, False, False, 15, 65, 260),  # k>63: beyond the reference's
+                                              # bitpack cap (bitpack.hpp:9-63)
+    (11, 65, 23, True, False, 15, 65, 200),   # k>63 canonical
 ]
 
 
