@@ -28,18 +28,29 @@ U64 = np.uint64
 U32 = np.uint32
 
 
-def assemble(parsed, tuples, words64, k, m, seed, canonical, verbose=False, on_step=None):
+def assemble(parsed, tuples, words64, k, m, seed, canonical, verbose=False,
+             on_step=None, avg_partition_size=None):
     """tuples: MinimizerTuples sorted by (minimizer_value, pos_in_seq)."""
+    from ..constants import AVG_PARTITION_SIZE
+    from ..mphf import PartitionedMPHF
+
     min_size = 1 << MIN_L
+    avg_part = avg_partition_size or AVG_PARTITION_SIZE
 
     def step(name):
         if on_step:
             on_step(name)
 
-    # ---- step 4: minimizer MPHF over distinct minimizer values
+    # ---- step 4: minimizer MPHF over distinct minimizer values; key sets
+    # beyond one partition build the PTHash-style partitioned layout
+    # (reference minimizers_control_map.hpp:12-19)
     distinct_vals = np.unique(tuples.minimizer)  # sorted unique
     num_minimizers = len(distinct_vals)
-    f = MPHF.build_u64(distinct_vals, seed=seed)
+    if num_minimizers > avg_part:
+        f = PartitionedMPHF.build_u64(distinct_vals, seed=seed,
+                                      avg_partition_size=avg_part)
+    else:
+        f = MPHF.build_u64(distinct_vals, seed=seed)
     step("build mphf")
 
     # ---- step 5+6: re-key tuples by MPHF id and re-sort

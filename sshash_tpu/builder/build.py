@@ -32,6 +32,9 @@ class BuildConfig:
     canonical: bool = False
     weighted: bool = False
     verbose: bool = True
+    # minimizer key sets beyond this build a partitioned MPHF (reference
+    # avg_partition_size, constants.hpp:11); None = constants default
+    avg_partition_size: int = None
 
     def validate(self):
         if self.k < 1 or self.m < 1 or self.m > self.k:
@@ -94,7 +97,8 @@ def build(input_path, config: BuildConfig):
     index = timed(
         "steps 4-7 (mphf + sparse and skew index)",
         lambda: assemble(parsed, tuples, words64, k, m, config.seed, config.canonical,
-                         verbose=config.verbose, on_step=steps_seen.append),
+                         verbose=config.verbose, on_step=steps_seen.append,
+                         avg_partition_size=config.avg_partition_size),
     )
 
     stats["total_build_time_sec"] = time.perf_counter() - t_total

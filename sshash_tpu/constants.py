@@ -27,8 +27,11 @@ if not (1 <= MIN_L <= MAX_L) or MAX_L - MIN_L + 1 > 8:
 
 # PTHash-analog MPHF tuning (reference: constants.hpp:10-11). LAMBDA is the
 # average bucket size of the pilot search; ALPHA the table load factor.
+# Key sets above AVG_PARTITION_SIZE build hash-range-partitioned MPHFs
+# (mphf.PartitionedMPHF; reference avg_partition_size, constants.hpp:11).
 LAMBDA = 5.0
 ALPHA = 0.94
+AVG_PARTITION_SIZE = 3_000_000
 SKEW_LAMBDA_BOOST = 2.0  # skew-index kmer MPHFs use lambda + 2 (reference: build_sparse_and_skew_index.cpp:319-320)
 
 FORWARD_ORIENTATION = 1
@@ -36,7 +39,7 @@ BACKWARD_ORIENTATION = -1
 
 # Index (de)serialization version. Major mismatch => rebuild required
 # (reference: util.hpp:191-195).
-VERSION = (1, 0, 0)
+VERSION = (1, 1, 0)
 
 # Bucket status codes stored in the low bits of a control codeword
 # (reference: util.hpp:13-17 and build_sparse_and_skew_index.cpp:119,209,226).

@@ -54,6 +54,10 @@ def _expand_to_slots(arr, mphf):
     read through the remap. Evaluation then needs no remap gather; untaken
     overflow slots alias arr[remap=0], bit-equal to the minimal eval's
     garbage for absent keys (mphf.py eval_hashes)."""
+    from .mphf import PartitionedMPHF
+
+    if isinstance(mphf, PartitionedMPHF):
+        return mphf.expand_to_slots(arr)
     ts = max(1, mphf.table_size)
     out = np.zeros(ts, dtype=arr.dtype)
     n = min(mphf.n, len(arr))
@@ -103,33 +107,54 @@ def _device_arrays(index):
                               side="right") - 1).astype(np.uint32)
 
     f = index.minimizer_mphf
-    # one row per raw MPHF slot: [status|b<<2, a, candidate0]. candidate0 is
-    # precomputed (the singleton offset, or mid_load[a] for midload), so the
-    # whole codeword decode + first-candidate fetch is ONE row gather.
+    s32 = K.pack_words_to_u32(index.strings64)
+    # one row per raw MPHF slot: [status|b<<2, a, candidate0, vbits..,
+    # window..]. candidate0 is precomputed (the singleton offset, or
+    # mid_load[a] for midload) and the row carries the packed-string window
+    # + valid-start bits around it — codeword decode, first-candidate fetch
+    # AND its verification ride ONE row gather (cf. the measured TPU gather
+    # cost model: row width <= 4 words is latency-free, scripts/
+    # profile_lookup.py).
     sb = (status.astype(np.uint32) | (b.astype(np.uint32) << 2))
     mid_arr = index.mid_load_buckets.astype(np.uint32)
     cand0 = a.astype(np.uint32)
     midm = status == 1
     if len(mid_arr):
         cand0 = np.where(midm, mid_arr[np.clip(a.astype(np.int64), 0, len(mid_arr) - 1)], cand0)
-    cw_row = np.stack([
-        _expand_to_slots(sb, f),
-        _expand_to_slots(a.astype(np.uint32), f),
-        _expand_to_slots(cand0, f),
-    ], axis=1)
-    s32 = K.pack_words_to_u32(index.strings64)
-    # interleaved (word, valid-start bits) rows: verify reads fetch the
-    # acceptance bit in the SAME row gather as the kmer chars
-    vb16 = np.zeros(len(s32), dtype=np.uint32)
-    vbits = np.packbits(vstart, bitorder="little")
-    vb = np.zeros(2 * len(s32), dtype=np.uint8)
-    vb[: len(vbits)] = vbits
-    vb16[:] = vb[0::2].astype(np.uint32) | (vb[1::2].astype(np.uint32) << 8)
-    strings_v32 = np.stack([s32, vb16], axis=1)
+    k, m = index.k, index.m
+    kmw = k - m
+    Ww = ((4 * k - 2 * m + 29) >> 5) + 1
+    Wv = (kmw + 1 + 31) // 32
 
+    def fused_rows(dpos):
+        """(n,) candidate char offsets -> (n, 1+Wv+Ww) rows
+        [dpos, valid-start bits, packed-string window] — one gather verifies
+        a candidate entirely in-register."""
+        c0 = dpos.astype(np.int64)
+        wlo = np.maximum(c0 - kmw, 0) >> 4
+        win = s32[np.clip(wlo[:, None] + np.arange(Ww)[None, :], 0, len(s32) - 1)]
+        offs = c0[:, None] - kmw + np.arange(kmw + 1)[None, :]
+        okoff = (offs >= 0) & (offs < len(vstart))
+        bits = np.where(okoff, vstart[np.clip(offs, 0, len(vstart) - 1)], False)
+        vb8 = np.packbits(bits, axis=1, bitorder="little")
+        vbp = np.zeros((len(c0), Wv * 4), dtype=np.uint8)
+        vbp[:, : vb8.shape[1]] = vb8
+        return np.concatenate([dpos.astype(np.uint32)[:, None],
+                               np.ascontiguousarray(vbp).view(np.uint32), win],
+                              axis=1)
+
+    heavym = status == 2
+    c0rows = fused_rows(np.where(heavym, 0, cand0.astype(np.int64)).astype(np.uint32))
+    c0rows[heavym, 1:] = 0
+    c0rows[heavym, 0] = cand0[heavym]
+    cols = [sb, a.astype(np.uint32)] + [c0rows[:, i] for i in range(c0rows.shape[1])]
+    cw_row = np.stack([_expand_to_slots(col, f) for col in cols], axis=1)
+    mid_rows = fused_rows(index.mid_load_buckets.astype(np.uint32)) \
+        if len(index.mid_load_buckets) else np.zeros((1, 1 + Wv + Ww), np.uint32)
+    heavy_rows = fused_rows(index.heavy_load_buckets.astype(np.uint32)) \
+        if len(index.heavy_load_buckets) else np.zeros((1, 1 + Wv + Ww), np.uint32)
     arrs = {
         "strings32": s32,
-        "strings_v32": strings_v32,
         "vstart": vwords,
         "endpoints": index.string_endpoints.astype(np.uint32),
         "sid_rows": sid_rows,
@@ -139,10 +164,17 @@ def _device_arrays(index):
             - np.arange(len(index.string_endpoints)) * (index.k - 1)
         ).astype(np.uint32),
         "cw_row": cw_row,
-        "mid_load": _nz(index.mid_load_buckets.astype(np.uint32)),
-        "heavy_load": _nz(index.heavy_load_buckets.astype(np.uint32)),
+        "mid_rows": mid_rows,
+        "heavy_rows": heavy_rows,
         "pilots": _nz(f.pilots),
     }
+    from .mphf import PartitionedMPHF
+
+    if isinstance(f, PartitionedMPHF):
+        smix = f.seedmixes()
+        arrs["mphf_seedrows"] = np.stack(
+            [(smix >> np.uint64(32)).astype(np.uint32),
+             (smix & np.uint64(0xFFFFFFFF)).astype(np.uint32)], axis=1)
 
     # skew partitions: concatenated arrays + per-partition params (8 slots);
     # positions re-keyed by raw slot (no remap gather at eval)
@@ -198,13 +230,27 @@ class StaticCfg:
         self.m = index.m
         self.canonical = index.canonical
         self.W = P.num_words32(index.k)
+        # fused-row geometry: each codeword row carries the packed-string
+        # window around candidate 0 (chars [16*(max(0,cand0-(k-m))>>4),
+        # cand0+k)) plus the valid-start bits for its k-m+1 possible kmer
+        # starts — candidate-0 verification then needs NO extra gather.
+        self.kmw = index.k - index.m
+        self.win_words = ((4 * index.k - 2 * index.m + 29) >> 5) + 1
+        self.vbits_words = (self.kmw + 1 + 31) // 32
         magic = int(H.mixer_magic(index.seed))
         self.magic = magic
         f = index.minimizer_mphf
+        from .mphf import PartitionedMPHF
+
+        self.mphf_partitioned = isinstance(f, PartitionedMPHF)
         self.mphf_n = f.n
         self.mphf_table = max(1, f.table_size)
         self.mphf_nbuckets = f.num_buckets
         self.mphf_seedmix = int(H.splitmix64(np.uint64(f.seed)))
+        if self.mphf_partitioned:
+            self.mphf_P = f.num_partitions
+            self.mphf_part_table = max(1, f.part_table)
+            self.mphf_part_buckets = f.part_buckets
         self.golden = [(i * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF for i in range(self.W)]
         self.max_bucket_size = index.stats.get("max_bucket_size", 1 << 6)
         # static: no skew partitions -> HEAVYLOAD never occurs, skip its kernel
@@ -229,16 +275,31 @@ class StaticCfg:
 def mphf_eval_minimizer(cfg, arrs, minval):
     """Batched minimizer-MPHF eval returning the raw hash SLOT in
     [0, table_size); codeword arrays are slot-keyed (_expand_to_slots), so
-    no remap gather is needed (cf. mphf.MPHF.eval_hashes)."""
+    no remap gather is needed (cf. mphf.MPHF.eval_hashes).
+
+    Partitioned layout (mphf.PartitionedMPHF): uniform per-partition
+    geometry keeps this branch-free — one extra tiny row gather for the
+    partition seedmix, then the same pilot gather."""
     mh = u.splitmix64(u.xor(minval, u.const64(cfg.mphf_seedmix)))
+    if getattr(cfg, "mphf_partitioned", False):
+        pid = u.mulhi32(mh.hi, U32(cfg.mphf_P))
+        row = jnp.take(arrs["mphf_seedrows"], pid.astype(I32), axis=0, mode="clip")
+        h2 = u.splitmix64(u.xor(mh, u.u64(row[:, 0], row[:, 1])))
+        bucket = pid * U32(cfg.mphf_part_buckets) + u.mulhi32(
+            h2.hi, U32(cfg.mphf_part_buckets))
+        pilot = _take(arrs["pilots"], bucket)
+        local = u.mulhi32(u.fmix32(h2.lo ^ u.fmix32(pilot)),
+                          U32(cfg.mphf_part_table))
+        return pid * U32(cfg.mphf_part_table) + local
     bucket = u.mulhi32(mh.hi, U32(cfg.mphf_nbuckets))
     pilot = _take(arrs["pilots"], bucket)
     return u.mulhi32(u.fmix32(mh.lo ^ u.fmix32(pilot)), U32(cfg.mphf_table))
 
 
 def skew_eval(cfg, arrs, kmers32, cw_a, pid):
-    """HEAVYLOAD offset resolution via per-partition kmer MPHFs
-    (reference skew_index::lookup, sparse_and_skew_index.hpp:34-44)."""
+    """HEAVYLOAD resolution via per-partition kmer MPHFs (reference
+    skew_index::lookup, sparse_and_skew_index.hpp:34-44). Returns the INDEX
+    into heavy_rows (the caller gathers the fused candidate row)."""
     seedmix = u.u64(_take(arrs["sk_seedmix_hi"], pid), _take(arrs["sk_seedmix_lo"], pid))
     h = u.hash64_words(kmers32, seedmix, cfg.golden)
     nb = _take(arrs["sk_nbuckets"], pid)
@@ -247,7 +308,7 @@ def skew_eval(cfg, arrs, kmers32, cw_a, pid):
     table = _take(arrs["sk_table"], pid)
     slot = u.mulhi32(u.fmix32(h.lo ^ u.fmix32(pilot)), table)
     pos_in_bucket = _take(arrs["sk_positions"], _take(arrs["sk_pos_off"], pid) + slot)
-    return _take(arrs["heavy_load"], cw_a + pos_in_bucket)
+    return cw_a + pos_in_bucket
 
 
 def _empty_res(B):
@@ -294,6 +355,9 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
     sb = row[:, 0]
     cw_a = row[:, 1]
     cand0_pre = row[:, 2]
+    Wv, Ww = cfg.vbits_words, cfg.win_words
+    vb = row[:, 3 : 3 + Wv]
+    win = row[:, 3 + Wv : 3 + Wv + Ww]
     status = sb & U32(3)
     cw_b = sb >> U32(2)
     heavy = status == 2
@@ -301,49 +365,34 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
     size = jnp.where(midload, cw_b, U32(1))
     pid = jnp.where(heavy, cw_b, U32(0))
 
-    if cfg.has_skew:
-        if canonical:
-            use_rc = P.kmer_less(kmers_rc32, kmers32)
-            canon = jnp.where(use_rc[:, None], kmers_rc32, kmers32)
-        else:
-            canon = kmers32
-        skew_off = skew_eval(cfg, arrs, canon, cw_a, pid)
-    else:
-        skew_off = cw_a  # heavy never true; keeps the select well-formed
-
     minpos_u = minpos.astype(U32)
     alt_pos = U32(k - m) - minpos_u  # canonical second try
 
     minval_rc = P.revcomp_mmer64(minval, m) if canonical else None
+    kmw = U32(cfg.kmw)
 
-    def verify(cand, active, lane_kmers, lane_kmers_rc, pos, apos, guard=False):
-        """One candidate per lane; returns (match, ko, orient, guard_ok).
-        With guard=True the first read doubles as the minimizer-guard read
-        (spss:47-65): the window starts at cand - min(pos, cand) so the
-        guard m-mer is always covered, extracted in-register at a dynamic
-        bit offset — no separate m-char gather."""
+    def verify_fused(cand, vbw, winw, active, lane_kmers, lane_kmers_rc,
+                     pos, apos):
+        """Verify one fused candidate row per lane ENTIRELY in-register:
+        the row carries the packed-string window + valid-start bits, so no
+        string gather is needed. Returns (match, ko, orient)."""
+        wlo16 = ((cand - jnp.minimum(cand, kmw)) >> U32(4)) << U32(4)
         match = jnp.zeros(cand.shape, dtype=bool)
         bko = jnp.zeros(cand.shape, dtype=U32)
         bor = jnp.full(cand.shape, FORWARD_ORIENTATION, dtype=I32)
-        guard_ok = None
-        for t, pos_try in enumerate((pos, apos) if canonical else (pos,)):
-            can = cand >= pos_try
-            if guard and t == 0:
-                base = cand - jnp.minimum(pos_try, cand)
-                read, vbit = P.read_kmers_at2(arrs["strings_v32"],
-                                              jnp.where(active, base, U32(0)), k)
-                gv = P.extract_window_dyn(read, (cand - base) * U32(2), 2 * m)
-                guard_ok = u.equal(gv, minval)
-                if canonical:
-                    guard_ok = guard_ok | u.equal(gv, minval_rc)
-                ok = active & can
-                ko = base
+        for pos_try in ((pos, apos) if canonical else (pos,)):
+            can = active & ~match & (cand >= pos_try)
+            off = jnp.where(can, cand - pos_try, U32(0))
+            j = kmw - pos_try
+            if vbw.shape[1] == 1:
+                vword = vbw[:, 0]
             else:
-                ok = active & ~match & can
-                ko = jnp.where(ok, cand - pos_try, U32(0))
-                read, vbit = P.read_kmers_at2(arrs["strings_v32"],
-                                              jnp.where(ok, ko, U32(0)), k)
-            ok &= vbit
+                vword = jnp.zeros(cand.shape, dtype=U32)
+                for t in range(vbw.shape[1]):
+                    vword = jnp.where((j >> U32(5)) == t, vbw[:, t], vword)
+            vbit = ((vword >> (j & U32(31))) & U32(1)) != 0
+            read = P.extract_kmer_dyn(winw, (off - wlo16) * U32(2), k)
+            ok = can & vbit
             if canonical:
                 eq_f = P.kmer_equal(read, lane_kmers)
                 eq_r = P.kmer_equal(read, lane_kmers_rc)
@@ -352,16 +401,41 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
                                                I32(FORWARD_ORIENTATION)), bor)
             else:
                 hit = ok & P.kmer_equal(read, lane_kmers)
-            bko = jnp.where(hit, ko, bko)
+            bko = jnp.where(hit, off, bko)
             match = match | hit
-        return match, bko, bor, guard_ok
+        return match, bko, bor
 
-    # ---- candidate 0 (all statuses); its read doubles as the minimizer
-    # guard read (spss:47-65)
+    # ---- candidate 0 (SINGLETON/MIDLOAD): its fused row came with the
+    # codeword gather. The guard m-mer compare (spss:47-65) extracts from
+    # the same window.
     res = _empty_res(B)
-    cand0 = jnp.where(heavy, skew_off, cand0_pre)
-    found, bko, bor, guard_ok = verify(cand0, active0, kmers32, kmers_rc32,
-                                       minpos_u, alt_pos, guard=True)
+    c0 = cand0_pre
+    wlo16 = ((c0 - jnp.minimum(c0, kmw)) >> U32(4)) << U32(4)
+    gv = P.extract_window_dyn(win, (c0 - wlo16) * U32(2), 2 * m)
+    guard_ok = u.equal(gv, minval)
+    if canonical:
+        guard_ok = guard_ok | u.equal(gv, minval_rc)
+
+    found, bko, bor = verify_fused(c0, vb, win, active0 & ~heavy,
+                                   kmers32, kmers_rc32, minpos_u, alt_pos)
+
+    # HEAVYLOAD lanes: candidate row located by the skew index
+    if cfg.has_skew:
+        if canonical:
+            use_rc = P.kmer_less(kmers_rc32, kmers32)
+            canon = jnp.where(use_rc[:, None], kmers_rc32, kmers32)
+        else:
+            canon = kmers32
+        hidx = skew_eval(cfg, arrs, canon, cw_a, pid)
+        hrow = jnp.take(arrs["heavy_rows"], hidx.astype(I32), axis=0, mode="clip")
+        Wvh = cfg.vbits_words
+        fh, bkoh, borh = verify_fused(hrow[:, 0], hrow[:, 1 : 1 + Wvh],
+                                      hrow[:, 1 + Wvh :], active0 & heavy,
+                                      kmers32, kmers_rc32, minpos_u, alt_pos)
+        found = found | fh
+        bko = jnp.where(fh, bkoh, bko)
+        bor = jnp.where(fh, borh, bor)
+
     res["minimizer_found"] = jnp.where(active0 & ~guard_ok & ~heavy, False,
                                        res["minimizer_found"])
     # a failed guard proves the bucket belongs to a different minimizer:
@@ -396,11 +470,14 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
         pvalid = gid < total
         lane_u = lane.astype(U32)
         j = (gid - _take(starts, lane_u)).astype(U32) + U32(1)
-        cand = _take(arrs["mid_load"], _take(cw_a, lane_u) + j)
+        midx = _take(cw_a, lane_u) + j
+        mrow = jnp.take(arrs["mid_rows"], midx.astype(I32), axis=0, mode="clip")
         lk = jnp.take(kmers32, lane, axis=0, mode="clip")
         lkr = jnp.take(kmers_rc32, lane, axis=0, mode="clip") if canonical else None
-        pm, pko, por, _ = verify(cand, pvalid, lk, lkr,
-                                 _take(minpos_u, lane_u), _take(alt_pos, lane_u))
+        Wvm = cfg.vbits_words
+        pm, pko, por = verify_fused(mrow[:, 0], mrow[:, 1 : 1 + Wvm],
+                                    mrow[:, 1 + Wvm :], pvalid, lk, lkr,
+                                    _take(minpos_u, lane_u), _take(alt_pos, lane_u))
         # at most one candidate per lane can match (kmers are distinct in the
         # SPSS), so scatter-max combines are exact
         hit = jnp.zeros((B,), dtype=U32).at[

@@ -18,7 +18,7 @@ import numpy as np
 
 from . import kmer as K
 from .constants import MIN_L, VERSION
-from .mphf import MPHF
+from .mphf import MPHF, PartitionedMPHF
 
 U64 = np.uint64
 U32 = np.uint32
@@ -156,9 +156,8 @@ class Index:
             "begin_buckets_of_size": self.begin_buckets_of_size,
             "mid_load_buckets": self.mid_load_buckets,
             "heavy_load_buckets": self.heavy_load_buckets,
-            "mphf_pilots": self.minimizer_mphf.pilots,
-            "mphf_remap": self.minimizer_mphf.remap,
         }
+        arrays.update(_mphf_arrays(self.minimizer_mphf, "mphf"))
         meta = {
             "version": list(VERSION),
             "k": self.k,
@@ -176,8 +175,7 @@ class Index:
         }
         skew_meta = []
         for i, p in enumerate(self.skew_partitions):
-            arrays[f"skew_pilots_{i}"] = p.mphf.pilots
-            arrays[f"skew_remap_{i}"] = p.mphf.remap
+            arrays.update(_mphf_arrays(p.mphf, f"skew_{i}"))
             arrays[f"skew_positions_{i}"] = p.positions
             skew_meta.append(_mphf_meta(p.mphf))
         meta["skew_mphfs"] = skew_meta
@@ -217,7 +215,7 @@ class Index:
         for i, sm in enumerate(meta["skew_mphfs"]):
             skew.append(
                 SkewPartition(
-                    mphf=_mphf_from_meta(sm, z[f"skew_pilots_{i}"], z[f"skew_remap_{i}"]),
+                    mphf=_mphf_from(sm, z, f"skew_{i}"),
                     positions=z[f"skew_positions_{i}"],
                 )
             )
@@ -238,7 +236,7 @@ class Index:
             strings64=z["strings64"],
             num_chars=meta["num_chars"],
             string_endpoints=z["string_endpoints"],
-            minimizer_mphf=_mphf_from_meta(meta["mphf"], z["mphf_pilots"], z["mphf_remap"]),
+            minimizer_mphf=_mphf_from(meta["mphf"], z, "mphf"),
             codewords=z["codewords"],
             begin_buckets_of_size=z["begin_buckets_of_size"],
             mid_load_buckets=z["mid_load_buckets"],
@@ -250,11 +248,32 @@ class Index:
 
 
 def _mphf_meta(f):
+    if isinstance(f, PartitionedMPHF):
+        return {"type": "partitioned", "n": f.n, "seed": f.seed,
+                "num_partitions": f.num_partitions, "part_table": f.part_table,
+                "part_buckets": f.part_buckets}
     return {"n": f.n, "table_size": f.table_size, "num_buckets": f.num_buckets, "seed": f.seed}
 
 
-def _mphf_from_meta(meta, pilots, remap):
-    return MPHF(meta["n"], meta["table_size"], meta["num_buckets"], meta["seed"], pilots, remap)
+def _mphf_arrays(f, prefix):
+    arrays = {f"{prefix}_pilots": f.pilots, f"{prefix}_remap": f.remap}
+    if isinstance(f, PartitionedMPHF):
+        arrays[f"{prefix}_seeds"] = f.seeds
+        arrays[f"{prefix}_part_n"] = f.part_n
+        arrays[f"{prefix}_cum_n"] = f.cum_n
+        arrays[f"{prefix}_remap_off"] = f.remap_off
+    return arrays
+
+
+def _mphf_from(meta, z, prefix):
+    if meta.get("type") == "partitioned":
+        return PartitionedMPHF(
+            meta["n"], meta["seed"], meta["num_partitions"], meta["part_table"],
+            meta["part_buckets"], z[f"{prefix}_seeds"], z[f"{prefix}_pilots"],
+            z[f"{prefix}_part_n"], z[f"{prefix}_cum_n"], z[f"{prefix}_remap"],
+            z[f"{prefix}_remap_off"])
+    return MPHF(meta["n"], meta["table_size"], meta["num_buckets"], meta["seed"],
+                z[f"{prefix}_pilots"], z[f"{prefix}_remap"])
 
 
 def decode_codeword(code):

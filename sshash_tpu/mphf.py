@@ -111,73 +111,264 @@ class MPHF:
         if table_size % 2 == 0:
             table_size += 1
         num_buckets = max(1, int(np.ceil(n / lmbda)))
-
-        hi = (h >> U64(32)).astype(U32)
-        lo = (h & U64(0xFFFFFFFF)).astype(U32)
-        bucket = H.mulhi32(hi, U32(num_buckets)).astype(np.int64)
-
-        # group keys by bucket, order buckets by size descending
-        order = np.argsort(bucket, kind="stable")
-        bsorted = bucket[order]
-        lo_sorted = lo[order]
-        ub, starts, counts = np.unique(bsorted, return_index=True, return_counts=True)
-        bucket_order = np.argsort(-counts, kind="stable")
-
-        from . import native
-
-        if native.available():
-            out = native.pilot_search(lo_sorted, starts, counts, bucket_order,
-                                      ub, table_size, _MAX_PILOT, num_buckets)
-            if out is None:
-                raise MPHFBuildError("native pilot search failed (re-seed)")
-            pilots, taken = out
-            return cls._finish(n, table_size, num_buckets, seed, pilots, taken)
-
-        taken = np.zeros(table_size, dtype=bool)
-        pilots = np.zeros(num_buckets, dtype=U32)
-        ts32 = U32(table_size)
-
-        pilot_batch = H.fmix32(np.arange(_PILOT_BATCH, dtype=U32))
-
-        for bi in bucket_order:
-            s, c = starts[bi], counts[bi]
-            blo = lo_sorted[s : s + c]
-            if c > 1 and len(np.unique(blo)) != c:
-                raise MPHFBuildError("in-bucket hash collision")
-            placed = False
-            for p0 in range(0, _MAX_PILOT, _PILOT_BATCH):
-                if p0 == 0:
-                    fm = pilot_batch
-                else:
-                    fm = H.fmix32(np.arange(p0, p0 + _PILOT_BATCH, dtype=U32))
-                slots = H.mulhi32(H.fmix32(blo[None, :] ^ fm[:, None]), ts32).astype(np.int64)
-                free = ~taken[slots]
-                ok = free.all(axis=1)
-                if c > 1:
-                    ss = np.sort(slots, axis=1)
-                    ok &= (ss[:, 1:] != ss[:, :-1]).all(axis=1)
-                hit = np.flatnonzero(ok)
-                if hit.size:
-                    r = hit[0]
-                    pilots[ub[bi]] = U32(p0 + r)
-                    taken[slots[r]] = True
-                    placed = True
-                    break
-            if not placed:
-                raise MPHFBuildError("pilot search exhausted")
-
+        pilots, taken = _pilot_table(h, table_size, num_buckets)
         return cls._finish(n, table_size, num_buckets, seed, pilots, taken)
 
     @classmethod
     def _finish(cls, n, table_size, num_buckets, seed, pilots, taken):
-        # minimal remap: taken slots >= n  ->  free slots < n
-        if table_size > n:
-            free_lt = np.flatnonzero(~taken[:n])
-            taken_ge = np.flatnonzero(taken[n:])
-            assert len(free_lt) == len(taken_ge)
-            remap = np.zeros(table_size - n, dtype=U32)
-            remap[taken_ge] = free_lt.astype(U32)
-        else:
-            remap = np.zeros(0, dtype=U32)
+        return cls(n, table_size, num_buckets, seed, pilots,
+                   _minimal_remap(n, table_size, taken))
 
-        return cls(n, table_size, num_buckets, seed, pilots, remap)
+
+def _minimal_remap(n, table_size, taken):
+    """Taken slots >= n -> free slots < n (minimal-ization)."""
+    if table_size <= n:
+        return np.zeros(0, dtype=U32)
+    free_lt = np.flatnonzero(~taken[:n])
+    taken_ge = np.flatnonzero(taken[n:])
+    assert len(free_lt) == len(taken_ge)
+    remap = np.zeros(table_size - n, dtype=U32)
+    remap[taken_ge] = free_lt.astype(U32)
+    return remap
+
+
+class PartitionedMPHF:
+    """Hash-range-partitioned MPHF (the PTHash partitioned layout,
+    reference: include/minimizers_control_map.hpp:12-19, avg partition 3M).
+
+    Keys are split by the top hash bits into P partitions of UNIFORM
+    geometry (T slots, NB pilot buckets each) so the device eval needs no
+    per-partition offset tables — global raw slot = pid*T + local, pilot
+    index = pid*NB + local_bucket. Each partition builds independently with
+    its own sub-seed (a failed partition re-seeds locally: no whole-table
+    re-seed storms, and partitions are the natural multi-host shard unit).
+
+        h    = splitmix64(key ^ splitmix64(seed))        (global, 64-bit)
+        pid  = mulhi32(hi32(h), P)                       (hash-range partition)
+        h2   = splitmix64(h ^ seedmix[pid])              (1 tiny gather)
+        b    = pid*NB + mulhi32(hi32(h2), NB)
+        slot = pid*T  + mulhi32(fmix32(lo32(h2) ^ fmix32(pilots[b])), T)
+
+    Minimal position = cum_n[pid] + local minimal position. In-bucket
+    placement still uses 32 bits, but per PARTITION (<= a few M keys) the
+    collision odds are ~1e-3 and a collision re-seeds only that partition.
+    """
+
+    __slots__ = ("n", "seed", "num_partitions", "part_table", "part_buckets",
+                 "seeds", "pilots", "part_n", "cum_n", "remap", "remap_off")
+
+    def __init__(self, n, seed, num_partitions, part_table, part_buckets,
+                 seeds, pilots, part_n, cum_n, remap, remap_off):
+        self.n = int(n)
+        self.seed = int(seed)
+        self.num_partitions = int(num_partitions)
+        self.part_table = int(part_table)
+        self.part_buckets = int(part_buckets)
+        self.seeds = seeds          # uint64[P] raw per-partition seeds
+        self.pilots = pilots        # uint32[P*NB]
+        self.part_n = part_n        # uint32[P]
+        self.cum_n = cum_n          # uint64[P+1] prefix sums of part_n
+        self.remap = remap          # uint32[sum(T - n_p)] concat minimal remaps
+        self.remap_off = remap_off  # uint64[P+1]
+
+    # engine-facing geometry (raw slot space covers all partitions)
+    @property
+    def table_size(self):
+        return self.num_partitions * self.part_table
+
+    @property
+    def num_buckets(self):
+        return self.num_partitions * self.part_buckets
+
+    # ---------------------------------------------------------- evaluation
+
+    def seedmixes(self):
+        """splitmix64(seed_p) per partition (what the device eval gathers)."""
+        return H.splitmix64(self.seeds)
+
+    def eval_hashes(self, h):
+        P, T, NB = self.num_partitions, self.part_table, self.part_buckets
+        hi = (h >> U64(32)).astype(U32)
+        pid = H.mulhi32(hi, U32(P)).astype(np.int64)
+        h2 = H.splitmix64(h ^ self.seedmixes()[pid])
+        hi2 = (h2 >> U64(32)).astype(U32)
+        lo2 = (h2 & U64(0xFFFFFFFF)).astype(U32)
+        b = pid * NB + H.mulhi32(hi2, U32(NB)).astype(np.int64)
+        pilot = np.take(self.pilots, b)
+        local = H.mulhi32(H.fmix32(lo2 ^ H.fmix32(pilot)), U32(T)).astype(np.int64)
+        npid = self.part_n[pid].astype(np.int64)
+        over = local >= npid
+        ridx = self.remap_off[pid].astype(np.int64) + np.where(over, local - npid, 0)
+        local = np.where(over, np.take(self.remap, ridx).astype(np.int64), local)
+        return self.cum_n[pid].astype(np.int64) + local
+
+    def raw_slots(self, h):
+        """Raw (non-minimal) global slots in [0, P*T) — for slot-expanded
+        device tables (no remap gather at eval)."""
+        P, T, NB = self.num_partitions, self.part_table, self.part_buckets
+        hi = (h >> U64(32)).astype(U32)
+        pid = H.mulhi32(hi, U32(P)).astype(np.int64)
+        h2 = H.splitmix64(h ^ self.seedmixes()[pid])
+        hi2 = (h2 >> U64(32)).astype(U32)
+        lo2 = (h2 & U64(0xFFFFFFFF)).astype(U32)
+        b = pid * NB + H.mulhi32(hi2, U32(NB)).astype(np.int64)
+        pilot = np.take(self.pilots, b)
+        local = H.mulhi32(H.fmix32(lo2 ^ H.fmix32(pilot)), U32(T)).astype(np.int64)
+        return pid * T + local
+
+    def expand_to_slots(self, arr):
+        """Re-index an array keyed by minimal position into raw-slot keying
+        (device layout; see engine._expand_to_slots for the single-table
+        version). Untaken slots alias entry 0's value via remap=0."""
+        P, T = self.num_partitions, self.part_table
+        out = np.zeros(P * T, dtype=arr.dtype)
+        for p in range(P):
+            npid = int(self.part_n[p])
+            base = int(self.cum_n[p])
+            sl = out[p * T : (p + 1) * T]
+            sl[:npid] = arr[base : base + npid]
+            ro = int(self.remap_off[p])
+            rmp = self.remap[ro : ro + (T - npid)].astype(np.int64)
+            sl[npid:] = arr[np.clip(base + rmp, 0, max(0, len(arr) - 1))]
+        return out
+
+    def __call__(self, keys):
+        return self.eval_hashes(H.hash64_u64(np.asarray(keys, dtype=U64), U64(self.seed)))
+
+    def eval_words(self, words):
+        return self.eval_hashes(H.hash64_words(np.asarray(words, dtype=U32), U64(self.seed)))
+
+    def num_bits(self):
+        return 8 * (self.pilots.nbytes + self.remap.nbytes + self.seeds.nbytes
+                    + self.part_n.nbytes) + 8 * 64
+
+    # ---------------------------------------------------------- construction
+
+    @classmethod
+    def build_from_hashes(cls, make_hashes, n, seed0, lmbda=LAMBDA, alpha=ALPHA,
+                          avg_partition_size=None):
+        from .constants import AVG_PARTITION_SIZE
+
+        avg = avg_partition_size or AVG_PARTITION_SIZE
+        P = max(1, -(-n // avg))
+        for attempt in range(16):
+            seed = int(H.splitmix64(U64(seed0) + U64(attempt * 0x9E3779B9)))
+            h = make_hashes(U64(seed))
+            try:
+                return cls._build(h, n, seed, P, lmbda, alpha)
+            except MPHFBuildError:
+                continue
+        raise MPHFBuildError(f"partitioned MPHF build failed for n={n}")
+
+    @classmethod
+    def build_u64(cls, keys, seed, lmbda=LAMBDA, alpha=ALPHA,
+                  avg_partition_size=None):
+        keys = np.asarray(keys, dtype=U64)
+        return cls.build_from_hashes(lambda s: H.hash64_u64(keys, s), len(keys),
+                                     seed, lmbda, alpha, avg_partition_size)
+
+    @classmethod
+    def _build(cls, h, n, seed, P, lmbda, alpha):
+        hi = (h >> U64(32)).astype(U32)
+        pid = H.mulhi32(hi, U32(P)).astype(np.int64)
+        order = np.argsort(pid, kind="stable")
+        h_sorted = h[order]
+        part_n = np.bincount(pid, minlength=P).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(part_n)])
+        nmax = int(part_n.max()) if P else 0
+
+        T = max(nmax, int(np.ceil(nmax / alpha)))
+        if T % 2 == 0:
+            T += 1
+        NB = max(1, int(np.ceil(nmax / lmbda)))
+
+        seeds = np.zeros(P, dtype=U64)
+        pilots = np.zeros(P * NB, dtype=U32)
+        remap = np.zeros(P * T - n, dtype=U32)
+        remap_off = np.zeros(P + 1, dtype=U64)
+        for p in range(P):
+            hp = h_sorted[starts[p] : starts[p + 1]]
+            np_p = len(hp)
+            if np_p > 1 and len(np.unique(hp)) != np_p:
+                raise MPHFBuildError("full 64-bit hash collision (global re-seed)")
+            built = False
+            for sub in range(16):
+                sp = H.splitmix64(U64(
+                    seed ^ ((p * 0x9E3779B97F4A7C15 + sub) & 0xFFFFFFFFFFFFFFFF)))
+                h2 = H.splitmix64(hp ^ H.splitmix64(sp))
+                try:
+                    pl, taken = _pilot_table(h2, T, NB)
+                except MPHFBuildError:
+                    continue
+                seeds[p] = sp
+                pilots[p * NB : (p + 1) * NB] = pl
+                ro = int(remap_off[p])
+                remap[ro : ro + (T - np_p)] = _minimal_remap(np_p, T, taken)
+                remap_off[p + 1] = ro + (T - np_p)
+                built = True
+                break
+            if not built:
+                raise MPHFBuildError(f"partition {p} exhausted sub-seeds")
+        cum_n = np.concatenate([[0], np.cumsum(part_n)]).astype(U64)
+        return cls(n, seed, P, T, NB, seeds, pilots,
+                   part_n.astype(U32), cum_n, remap, remap_off)
+
+
+def _pilot_table(h, table_size, num_buckets):
+    """Core pilot search over 64-bit key hashes: bucket by hi32, place by
+    lo32. Returns (pilots uint32[num_buckets], taken bool[table_size]);
+    raises MPHFBuildError on unresolvable collisions (caller re-seeds)."""
+    hi = (h >> U64(32)).astype(U32)
+    lo = (h & U64(0xFFFFFFFF)).astype(U32)
+    bucket = H.mulhi32(hi, U32(num_buckets)).astype(np.int64)
+
+    # group keys by bucket, order buckets by size descending
+    order = np.argsort(bucket, kind="stable")
+    bsorted = bucket[order]
+    lo_sorted = lo[order]
+    ub, starts, counts = np.unique(bsorted, return_index=True, return_counts=True)
+    bucket_order = np.argsort(-counts, kind="stable")
+
+    from . import native
+
+    if native.available():
+        out = native.pilot_search(lo_sorted, starts, counts, bucket_order,
+                                  ub, table_size, _MAX_PILOT, num_buckets)
+        if out is None:
+            raise MPHFBuildError("native pilot search failed (re-seed)")
+        return out
+
+    taken = np.zeros(table_size, dtype=bool)
+    pilots = np.zeros(num_buckets, dtype=U32)
+    ts32 = U32(table_size)
+
+    pilot_batch = H.fmix32(np.arange(_PILOT_BATCH, dtype=U32))
+
+    for bi in bucket_order:
+        s, c = starts[bi], counts[bi]
+        blo = lo_sorted[s : s + c]
+        if c > 1 and len(np.unique(blo)) != c:
+            raise MPHFBuildError("in-bucket hash collision")
+        placed = False
+        for p0 in range(0, _MAX_PILOT, _PILOT_BATCH):
+            if p0 == 0:
+                fm = pilot_batch
+            else:
+                fm = H.fmix32(np.arange(p0, p0 + _PILOT_BATCH, dtype=U32))
+            slots = H.mulhi32(H.fmix32(blo[None, :] ^ fm[:, None]), ts32).astype(np.int64)
+            free = ~taken[slots]
+            ok = free.all(axis=1)
+            if c > 1:
+                ss = np.sort(slots, axis=1)
+                ok &= (ss[:, 1:] != ss[:, :-1]).all(axis=1)
+            hit = np.flatnonzero(ok)
+            if hit.size:
+                r = hit[0]
+                pilots[ub[bi]] = U32(p0 + r)
+                taken[slots[r]] = True
+                placed = True
+                break
+        if not placed:
+            raise MPHFBuildError("pilot search exhausted")
+
+    return pilots, taken

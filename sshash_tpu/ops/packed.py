@@ -109,6 +109,30 @@ def extract_window_dyn(kmers32, bitpos, width_bits):
     return out
 
 
+def extract_kmer_dyn(win, bitpos, k):
+    """Extract a k-char kmer at a PER-LANE dynamic bit offset from an
+    in-register window (B, Ww) of packed words. Pure selects + funnel
+    shifts — no gathers (the fused-row verify path). Returns (B, W32)."""
+    B, Ww = win.shape
+    W = num_words32(k)
+    w0 = (bitpos >> U32(5)).astype(U32)
+    b = (bitpos & U32(31)).astype(U32)
+
+    def sel(widx):
+        out = jnp.zeros((B,), dtype=U32)
+        for w in range(Ww):
+            out = jnp.where(widx == w, win[:, w], out)
+        return out
+
+    up = (U32(32) - b) & U32(31)
+    nz = b != 0
+    cols = []
+    for j in range(W):
+        wj = w0 + U32(j)
+        cols.append((sel(wj) >> b) | jnp.where(nz, sel(wj + 1) << up, U32(0)))
+    return mask_last_word(jnp.stack(cols, axis=1), k)
+
+
 def revcomp_mmer64(val, m):
     """RC of u64-packed m-mers (m <= 31), register-only (host analog:
     kmer.revcomp_mmers)."""

@@ -234,13 +234,14 @@ class ShardedEngine:
         host["cw_row"] = padded
         self.per_shard = per_shard
 
-        # shard the mid-load buckets along with their owning codeword range:
-        # each shard gets a local mid_load array holding only the entries of
+        # shard the mid-load rows along with their owning codeword range:
+        # each shard gets a local mid_rows array holding only the entries of
         # its MPHF-slot range, and its cw_a rewritten to local offsets.
         status = host["cw_row"][:, 0] & 3
         cw_a = host["cw_row"][:, 1].copy()
         cw_b = host["cw_row"][:, 0] >> 2
-        glob_mid = host["mid_load"]
+        glob_mid = host["mid_rows"]
+        WR = glob_mid.shape[1]
         shard_mids = []
         for j in range(nb):
             sl = slice(j * per_shard, (j + 1) * per_shard)
@@ -248,16 +249,17 @@ class ShardedEngine:
             sizes = np.where(mid, cw_b[sl], 0).astype(np.int64)
             local_begin = np.cumsum(sizes) - sizes
             idx = np.repeat(cw_a[sl][mid].astype(np.int64), sizes[mid]) + _ranges(sizes[mid])
-            shard_mids.append(glob_mid[idx] if len(idx) else np.zeros(0, glob_mid.dtype))
+            shard_mids.append(glob_mid[idx] if len(idx)
+                              else np.zeros((0, WR), glob_mid.dtype))
             cw_a[sl] = np.where(mid, local_begin.astype(cw_a.dtype), cw_a[sl])
         host["cw_row"][:, 1] = cw_a
         mid_len = max(1, max(len(s) for s in shard_mids))
-        host["mid_load"] = np.concatenate([
-            np.pad(s, (0, mid_len - len(s))) for s in shard_mids])
+        host["mid_rows"] = np.concatenate([
+            np.pad(s, ((0, mid_len - len(s)), (0, 0))) for s in shard_mids])
 
         in_specs = {}
         self.arrs = {}
-        sharded_keys = _CW_KEYS + ("mid_load",)
+        sharded_keys = _CW_KEYS + ("mid_rows",)
         for key, arr in host.items():
             spec = P(bucket_axis) if key in sharded_keys else P()
             in_specs[key] = spec
