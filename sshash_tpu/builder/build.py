@@ -35,6 +35,12 @@ class BuildConfig:
     # minimizer key sets beyond this build a partitioned MPHF (reference
     # avg_partition_size, constants.hpp:11); None = constants default
     avg_partition_size: int = None
+    # out-of-core build (builder/external.py): tuples spill to hash-range
+    # tmp files; assembly runs one MPHF partition at a time (the reference's
+    # -d/-g flags, tools/build.cpp:34-44)
+    external: bool = False
+    ram_limit_mb: int = None
+    tmp_dir: str = None
 
     def validate(self):
         if self.k < 1 or self.m < 1 or self.m > self.k:
@@ -60,6 +66,19 @@ def build(input_path, config: BuildConfig):
         if config.verbose:
             print(f"=== {name}: {dt:.3f} [sec]")
         return out
+
+    if config.external or config.ram_limit_mb is not None:
+        from .external import build_external
+
+        index = build_external(input_path, config, stats, timed)
+        stats["total_build_time_sec"] = time.perf_counter() - t_total
+        stats["num_kmers"] = index.num_kmers
+        stats.update(index.stats)
+        index.stats = stats
+        if config.verbose:
+            print(json.dumps({kk: vv for kk, vv in stats.items()
+                              if not kk.startswith("step")}))
+        return index
 
     magic = mixer_magic(config.seed)
 

@@ -244,13 +244,20 @@ class PartitionedMPHF:
 
     # ---------------------------------------------------------- construction
 
-    @classmethod
-    def build_from_hashes(cls, make_hashes, n, seed0, lmbda=LAMBDA, alpha=ALPHA,
-                          avg_partition_size=None):
+    @staticmethod
+    def num_partitions_for(n, avg_partition_size=None):
+        """Power-of-two partition count (so out-of-core spill ranges, a
+        finer power-of-two hash split, nest exactly: pid = rid // c)."""
         from .constants import AVG_PARTITION_SIZE
 
         avg = avg_partition_size or AVG_PARTITION_SIZE
-        P = max(1, -(-n // avg))
+        need = max(1, -(-n // avg))
+        return 1 << (need - 1).bit_length()
+
+    @classmethod
+    def build_from_hashes(cls, make_hashes, n, seed0, lmbda=LAMBDA, alpha=ALPHA,
+                          avg_partition_size=None):
+        P = cls.num_partitions_for(n, avg_partition_size)
         for attempt in range(16):
             seed = int(H.splitmix64(U64(seed0) + U64(attempt * 0x9E3779B9)))
             h = make_hashes(U64(seed))
@@ -268,6 +275,13 @@ class PartitionedMPHF:
                                      seed, lmbda, alpha, avg_partition_size)
 
     @classmethod
+    def incremental(cls, n, seed, P, nmax, lmbda=LAMBDA, alpha=ALPHA):
+        """Builder for partition-at-a-time construction (the out-of-core
+        build feeds partitions from spilled hash ranges). n = total keys,
+        nmax = largest partition's key count (known from range counts)."""
+        return _PartitionedBuilder(cls, n, seed, P, nmax, lmbda, alpha)
+
+    @classmethod
     def _build(cls, h, n, seed, P, lmbda, alpha):
         hi = (h >> U64(32)).astype(U32)
         pid = H.mulhi32(hi, U32(P)).astype(np.int64)
@@ -276,42 +290,68 @@ class PartitionedMPHF:
         part_n = np.bincount(pid, minlength=P).astype(np.int64)
         starts = np.concatenate([[0], np.cumsum(part_n)])
         nmax = int(part_n.max()) if P else 0
+        b = cls.incremental(n, seed, P, nmax, lmbda, alpha)
+        for p in range(P):
+            b.add_partition(p, h_sorted[starts[p] : starts[p + 1]])
+        return b.finish()
 
+
+class _PartitionedBuilder:
+    def __init__(self, cls, n, seed, P, nmax, lmbda, alpha):
+        self.cls = cls
+        self.n, self.seed, self.P = int(n), int(seed), int(P)
         T = max(nmax, int(np.ceil(nmax / alpha)))
         if T % 2 == 0:
             T += 1
-        NB = max(1, int(np.ceil(nmax / lmbda)))
+        self.T = T
+        self.NB = max(1, int(np.ceil(nmax / lmbda)))
+        self.seeds = np.zeros(P, dtype=U64)
+        self.pilots = np.zeros(P * self.NB, dtype=U32)
+        self.remap = np.zeros(P * T - n, dtype=U32)
+        self.remap_off = np.zeros(P + 1, dtype=U64)
+        self.part_n = np.zeros(P, dtype=np.int64)
 
-        seeds = np.zeros(P, dtype=U64)
-        pilots = np.zeros(P * NB, dtype=U32)
-        remap = np.zeros(P * T - n, dtype=U32)
-        remap_off = np.zeros(P + 1, dtype=U64)
-        for p in range(P):
-            hp = h_sorted[starts[p] : starts[p + 1]]
-            np_p = len(hp)
-            if np_p > 1 and len(np.unique(hp)) != np_p:
-                raise MPHFBuildError("full 64-bit hash collision (global re-seed)")
-            built = False
-            for sub in range(16):
-                sp = H.splitmix64(U64(
-                    seed ^ ((p * 0x9E3779B97F4A7C15 + sub) & 0xFFFFFFFFFFFFFFFF)))
-                h2 = H.splitmix64(hp ^ H.splitmix64(sp))
-                try:
-                    pl, taken = _pilot_table(h2, T, NB)
-                except MPHFBuildError:
-                    continue
-                seeds[p] = sp
-                pilots[p * NB : (p + 1) * NB] = pl
-                ro = int(remap_off[p])
-                remap[ro : ro + (T - np_p)] = _minimal_remap(np_p, T, taken)
-                remap_off[p + 1] = ro + (T - np_p)
-                built = True
-                break
-            if not built:
-                raise MPHFBuildError(f"partition {p} exhausted sub-seeds")
-        cum_n = np.concatenate([[0], np.cumsum(part_n)]).astype(U64)
-        return cls(n, seed, P, T, NB, seeds, pilots,
-                   part_n.astype(U32), cum_n, remap, remap_off)
+    def add_partition(self, p, hp):
+        """hp: uint64 key hashes of partition p (must be called for
+        p = 0..P-1 in order). Returns each key's minimal LOCAL position."""
+        T, NB = self.T, self.NB
+        np_p = len(hp)
+        if np_p > 1 and len(np.unique(hp)) != np_p:
+            raise MPHFBuildError("full 64-bit hash collision (global re-seed)")
+        if np_p > T:
+            raise MPHFBuildError(f"partition {p} larger than table ({np_p} > {T})")
+        for sub in range(16):
+            sp = H.splitmix64(U64(
+                self.seed ^ ((p * 0x9E3779B97F4A7C15 + sub) & 0xFFFFFFFFFFFFFFFF)))
+            h2 = H.splitmix64(hp ^ H.splitmix64(sp))
+            try:
+                pl, taken = _pilot_table(h2, T, NB)
+            except MPHFBuildError:
+                continue
+            self.seeds[p] = sp
+            self.pilots[p * NB : (p + 1) * NB] = pl
+            ro = int(self.remap_off[p])
+            rseg = _minimal_remap(np_p, T, taken)
+            self.remap[ro : ro + (T - np_p)] = rseg
+            self.remap_off[p + 1] = ro + (T - np_p)
+            self.part_n[p] = np_p
+            hi2 = (h2 >> U64(32)).astype(U32)
+            lo2 = (h2 & U64(0xFFFFFFFF)).astype(U32)
+            bucket = H.mulhi32(hi2, U32(NB)).astype(np.int64)
+            local = H.mulhi32(H.fmix32(lo2 ^ H.fmix32(pl[bucket])),
+                              U32(T)).astype(np.int64)
+            over = local >= np_p
+            if over.any():
+                local = np.where(over, rseg[np.where(over, local - np_p, 0)].astype(np.int64),
+                                 local)
+            return local
+        raise MPHFBuildError(f"partition {p} exhausted sub-seeds")
+
+    def finish(self):
+        cum_n = np.concatenate([[0], np.cumsum(self.part_n)]).astype(U64)
+        return self.cls(self.n, self.seed, self.P, self.T, self.NB, self.seeds,
+                        self.pilots, self.part_n.astype(U32), cum_n, self.remap,
+                        self.remap_off)
 
 
 def _pilot_table(h, table_size, num_buckets):

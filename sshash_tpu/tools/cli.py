@@ -25,6 +25,12 @@ def _add_build(sub):
     p.add_argument("--weighted", action="store_true")
     p.add_argument("--check", action="store_true", help="run the full check suite after building")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("-g", "--ram-mb", type=int, default=None,
+                   help="RAM budget (MB) -> out-of-core build with tuple "
+                        "spills (the reference's -g GiB flag)")
+    p.add_argument("-d", "--tmp-dir", default=None,
+                   help="spill directory for the out-of-core build "
+                        "(the reference's -d flag)")
 
 
 def _add_query(sub):
@@ -77,7 +83,8 @@ def _build(args):
     from ..dictionary import Dictionary
 
     cfg = BuildConfig(k=args.k, m=args.m, seed=args.seed if args.seed is not None else SEED,
-                      canonical=args.canonical, weighted=args.weighted, verbose=args.verbose)
+                      canonical=args.canonical, weighted=args.weighted, verbose=args.verbose,
+                      ram_limit_mb=args.ram_mb, tmp_dir=args.tmp_dir)
     d = Dictionary.build(args.input, cfg)
     d.print_info()
     if args.check:
