@@ -237,4 +237,45 @@ int64_t tuple_scan(const uint8_t* codes, int64_t n_chars,
     return t;
 }
 
+// Single-pass read-batch encoder for the streaming query pipeline
+// (sshash_tpu/streaming.py flush): packs 2-bit codes into uint32 device
+// words (invalid chars as 0, layout = char o in word o/16 at bit 2*(o%16))
+// and emits per-POSITION validity bits in segment order (a position is
+// valid iff its k chars are all ACGT/acgt). Replaces a multi-pass NumPy
+// encode that dominated warm streaming time on slow hosts. Both output
+// buffers must be zeroed by the caller. Returns the total position count.
+int64_t encode_stream(const uint8_t* seq,
+                      const int64_t* starts,  // per-segment char start
+                      const int64_t* lens,    // per-segment char length
+                      int64_t nseg, int64_t k,
+                      uint32_t* words32,
+                      uint32_t* valid_bits)
+{
+    int64_t t = 0;
+    for (int64_t s = 0; s < nseg; ++s) {
+        const int64_t b = starts[s], L = lens[s];
+        int64_t run = 0;
+        for (int64_t i = 0; i < L; ++i) {
+            const uint8_t ch = seq[b + i];
+            uint32_t code = 0;
+            bool okc = true;
+            switch (ch) {
+                case 'A': case 'a': code = 0; break;
+                case 'C': case 'c': code = 1; break;
+                case 'T': case 't': code = 2; break;
+                case 'G': case 'g': code = 3; break;
+                default: okc = false; break;
+            }
+            run = okc ? run + 1 : 0;
+            const int64_t g = b + i;
+            words32[g >> 4] |= code << ((g & 15) * 2);
+            if (i >= k - 1) {
+                if (run >= k) valid_bits[t >> 5] |= 1u << (t & 31);
+                ++t;
+            }
+        }
+    }
+    return t;
+}
+
 }  // extern "C"

@@ -83,7 +83,7 @@ print(json.dumps({{"num_kmers": d.num_kmers(),
                    "build_sec": round(build_s, 1),
                    "ns_per_kmer": round(build_s * 1e9 / d.num_kmers(), 1),
                    "roundtrip_ok": ok,
-                   "negative_hits": int((negres["kmer_id"] != np.uint64(-1)).sum())}}),
+                   "negative_hits": int((negres["kmer_id"] != np.uint64(0xFFFFFFFFFFFFFFFF)).sum())}}),
       flush=True)
 assert ok
 """

@@ -237,6 +237,9 @@ class StaticCfg:
         self.kmw = index.k - index.m
         self.win_words = ((4 * index.k - 2 * index.m + 29) >> 5) + 1
         self.vbits_words = (self.kmw + 1 + 31) // 32
+        # windows start word-aligned at max(0, cand-(k-m)) & ~15, so the
+        # in-window bit offset is bounded: its start word takes few values
+        self.max_start_word = (2 * (15 + self.kmw)) >> 5
         magic = int(H.mixer_magic(index.seed))
         self.magic = magic
         f = index.minimizer_mphf
@@ -391,7 +394,8 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
                 for t in range(vbw.shape[1]):
                     vword = jnp.where((j >> U32(5)) == t, vbw[:, t], vword)
             vbit = ((vword >> (j & U32(31))) & U32(1)) != 0
-            read = P.extract_kmer_dyn(winw, (off - wlo16) * U32(2), k)
+            read = P.extract_kmer_dyn(winw, (off - wlo16) * U32(2), k,
+                                      max_start_word=cfg.max_start_word)
             ok = can & vbit
             if canonical:
                 eq_f = P.kmer_equal(read, lane_kmers)
@@ -411,7 +415,8 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
     res = _empty_res(B)
     c0 = cand0_pre
     wlo16 = ((c0 - jnp.minimum(c0, kmw)) >> U32(4)) << U32(4)
-    gv = P.extract_window_dyn(win, (c0 - wlo16) * U32(2), 2 * m)
+    gv = P.extract_window_dyn(win, (c0 - wlo16) * U32(2), 2 * m,
+                              max_start_word=cfg.max_start_word)
     guard_ok = u.equal(gv, minval)
     if canonical:
         guard_ok = guard_ok | u.equal(gv, minval_rc)

@@ -47,6 +47,11 @@ def _load():
             p(ctypes.c_uint8), i64, p(i64), i64, i64, i64, u64, ctypes.c_int,
             p(u64), p(u64), p(ctypes.c_uint8), p(ctypes.c_uint8), i64,
         ]
+        lib.encode_stream.restype = i64
+        lib.encode_stream.argtypes = [
+            p(ctypes.c_uint8), p(i64), p(i64), i64, i64,
+            p(ctypes.c_uint32), p(ctypes.c_uint32),
+        ]
         _lib = lib
     except Exception:
         _lib = None
@@ -125,3 +130,19 @@ def tuple_scan(codes, endpoints, k, m, magic, canonical):
     )
     assert t >= 0
     return out_min[:t], out_pos[:t], out_pik[:t], out_cnt[:t]
+
+
+def encode_stream(seq_bytes, cstarts, lens, k, words32, valid_bits):
+    """Single-pass read-batch encode (C++): fills `words32` (2-bit packed,
+    invalid chars as 0) and `valid_bits` (one bit per kmer position in
+    segment order). Both must be zeroed. Returns total positions."""
+    lib = _load()
+    assert lib is not None
+    seq = np.frombuffer(seq_bytes, dtype=np.uint8)
+    cstarts = np.ascontiguousarray(cstarts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    return lib.encode_stream(
+        _ptr(seq, ctypes.c_uint8), _ptr(cstarts, ctypes.c_int64),
+        _ptr(lens, ctypes.c_int64), len(lens), int(k),
+        _ptr(words32, ctypes.c_uint32), _ptr(valid_bits, ctypes.c_uint32),
+    )

@@ -85,51 +85,66 @@ def extract_window(kmers32, bit, width_bits):
     return out
 
 
-def extract_window_dyn(kmers32, bitpos, width_bits):
+def extract_window_dyn(kmers32, bitpos, width_bits, max_start_word=None):
     """Extract up to 64 bits at a PER-LANE dynamic bit offset from packed
     kmers (B, W). bitpos: uint32 (B,), even. Pure register selects + variable
-    shifts — no gathers. Returns u64 masked to width_bits."""
+    shifts — no gathers. Returns u64 masked to width_bits.
+    max_start_word: see extract_kmer_dyn."""
     B, W = kmers32.shape
     w0 = (bitpos >> 5).astype(U32)
     b = (bitpos & U32(31)).astype(U32)
-
-    def sel(widx):
-        out = jnp.zeros((B,), dtype=U32)
-        for w in range(W):
-            out = jnp.where(widx == w, kmers32[:, w], out)
-        return out
-
     up = (U32(32) - b) & U32(31)
     nz = b != 0
-    lo = (sel(w0) >> b) | jnp.where(nz, sel(w0 + 1) << up, U32(0))
-    hi = (sel(w0 + 1) >> b) | jnp.where(nz, sel(w0 + 2) << up, U32(0))
+
+    def word(i):
+        return kmers32[:, i] if i < W else jnp.zeros((B,), dtype=U32)
+
+    nvar = W if max_start_word is None else min(W, max_start_word + 1)
+    variants = []
+    for v in range(nvar):
+        lo = (word(v) >> b) | jnp.where(nz, word(v + 1) << up, U32(0))
+        hi = (word(v + 1) >> b) | jnp.where(nz, word(v + 2) << up, U32(0))
+        variants.append((lo, hi))
+    lo, hi = variants[0]
+    for v in range(1, nvar):
+        pick = w0 == v
+        lo = jnp.where(pick, variants[v][0], lo)
+        hi = jnp.where(pick, variants[v][1], hi)
     out = u.u64(hi, lo)
     if width_bits < 64:
         return u.and_(out, u.const64((1 << width_bits) - 1))
     return out
 
 
-def extract_kmer_dyn(win, bitpos, k):
+def extract_kmer_dyn(win, bitpos, k, max_start_word=None):
     """Extract a k-char kmer at a PER-LANE dynamic bit offset from an
     in-register window (B, Ww) of packed words. Pure selects + funnel
-    shifts — no gathers (the fused-row verify path). Returns (B, W32)."""
+    shifts — no gathers (the fused-row verify path). Returns (B, W32).
+
+    max_start_word bounds bitpos >> 5 (known per call site from the window
+    geometry): the extraction then computes one STATIC funnel shift per
+    possible start word and selects, instead of per-lane word indexing."""
     B, Ww = win.shape
     W = num_words32(k)
     w0 = (bitpos >> U32(5)).astype(U32)
     b = (bitpos & U32(31)).astype(U32)
-
-    def sel(widx):
-        out = jnp.zeros((B,), dtype=U32)
-        for w in range(Ww):
-            out = jnp.where(widx == w, win[:, w], out)
-        return out
-
     up = (U32(32) - b) & U32(31)
     nz = b != 0
-    cols = []
-    for j in range(W):
-        wj = w0 + U32(j)
-        cols.append((sel(wj) >> b) | jnp.where(nz, sel(wj + 1) << up, U32(0)))
+
+    def word(i):
+        return win[:, i] if i < Ww else jnp.zeros((B,), dtype=U32)
+
+    nvar = Ww if max_start_word is None else min(Ww, max_start_word + 1)
+    variants = []
+    for v in range(nvar):
+        variants.append([
+            (word(v + j) >> b) | jnp.where(nz, word(v + j + 1) << up, U32(0))
+            for j in range(W)
+        ])
+    cols = variants[0]
+    for v in range(1, nvar):
+        pick = w0 == v
+        cols = [jnp.where(pick, variants[v][j], cols[j]) for j in range(W)]
     return mask_last_word(jnp.stack(cols, axis=1), k)
 
 

@@ -478,6 +478,8 @@ class _DeviceStream:
             return
         import jax.numpy as jnp
 
+        from . import native
+
         k = self.k
         seqs = [s for s, _ in self._seqs]
         starts_flag = np.array([f for _, f in self._seqs], dtype=bool)
@@ -487,26 +489,36 @@ class _DeviceStream:
         self._chars = 0
 
         lens = np.array([len(s) for s in seqs], dtype=np.int64)
-        codes, ok = K.encode_chars(b"".join(seqs))
         ends = np.cumsum(lens)
         cstarts = ends - lens
         npos = lens - k + 1
-        pstart = np.cumsum(npos) - npos
         total = int(npos.sum())
         assert total == count
 
-        words = K.pack_codes(np.where(ok, codes, 0))
         words32 = np.zeros(self.CW, dtype=np.uint32)
-        w32 = K.pack_words_to_u32(words)
-        words32[: len(w32)] = w32
-
-        pos_all = np.repeat(cstarts, npos) + (np.arange(total) - np.repeat(pstart, npos))
-        okc = np.zeros(len(ok) + 1, dtype=np.int64)
-        np.cumsum(ok, out=okc[1:])
-        valid = (okc[pos_all + k] - okc[pos_all]) == k
-        vb = np.packbits(valid, bitorder="little")
         valid_bits = np.zeros(self.P // 32 + 1, dtype=np.uint32)
-        valid_bits[: (len(vb) + 3) // 4] = np.pad(vb, (0, (-len(vb)) % 4)).view(np.uint32)
+        joined = b"".join(seqs)
+        if native.available():
+            # single-pass C++ encode: pack + per-position validity in one
+            # sweep (the multi-pass NumPy path below dominated warm
+            # streaming time on slow hosts)
+            t = native.encode_stream(joined, cstarts, lens, k, words32,
+                                     valid_bits)
+            assert t == count
+        else:
+            codes, ok = K.encode_chars(joined)
+            words = K.pack_codes(np.where(ok, codes, 0))
+            w32 = K.pack_words_to_u32(words)
+            words32[: len(w32)] = w32
+            pstart = np.cumsum(npos) - npos
+            pos_all = np.repeat(cstarts, npos) + (
+                np.arange(total) - np.repeat(pstart, npos))
+            okc = np.zeros(len(ok) + 1, dtype=np.int64)
+            np.cumsum(ok, out=okc[1:])
+            valid = (okc[pos_all + k] - okc[pos_all]) == k
+            vb = np.packbits(valid, bitorder="little")
+            valid_bits[: (len(vb) + 3) // 4] = np.pad(
+                vb, (0, (-len(vb)) % 4)).view(np.uint32)
 
         R = self.R
         rstart = np.zeros(R, dtype=np.uint32)
@@ -559,16 +571,20 @@ class _DeviceStream:
 
 
 def streaming_query_from_file(dictionary, path, multiline=False, fmt=None,
-                              use_device=False, chunk=1 << 18):
+                              use_device=False, chunk=None):
     """Run streaming membership queries; returns the report dict of
-    streaming_query_report (reference util.hpp:29-36) plus timing."""
+    streaming_query_report (reference util.hpp:29-36) plus timing.
+    chunk: positions per batch (device default 2^22 — big chunks amortize
+    the per-dispatch cost; host default 2^18)."""
     index = dictionary.index
     t0 = time.perf_counter()
     if use_device:
         engine = dictionary.to_device()
-        batcher = _DeviceStream(engine, index.k, pmax=max(chunk, 1 << 16))
+        batcher = _DeviceStream(engine, index.k,
+                                pmax=max(chunk or (1 << 22), 1 << 16))
     else:
-        batcher = _Batcher(index, _host_lookup(index), index.k, chunk=chunk)
+        batcher = _Batcher(index, _host_lookup(index), index.k,
+                           chunk=chunk or (1 << 18))
     for seq in parse_reads(path, fmt=fmt, multiline=multiline):
         batcher.add_read(seq)
     report = batcher.finalize()
