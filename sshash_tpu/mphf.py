@@ -22,10 +22,22 @@ Multi-word keys (kmers) hash through hashing.hash64_words.
 import numpy as np
 
 from . import hashing as H
+from .compact import CompactVector
 from .constants import ALPHA, LAMBDA
 
 U64 = np.uint64
 U32 = np.uint32
+
+
+def _get(vec, idx):
+    """Vectorized access on a CompactVector or a plain uint32 array."""
+    if isinstance(vec, CompactVector):
+        return vec.get(idx)
+    return np.take(vec, idx).astype(np.int64)
+
+
+def _vec_bits(vec):
+    return vec.num_bits() if isinstance(vec, CompactVector) else 8 * vec.nbytes
 
 _MAX_PILOT = 1 << 22
 _PILOT_BATCH = 64
@@ -57,11 +69,11 @@ class MPHF:
         hi = (h >> U64(32)).astype(U32)
         lo = (h & U64(0xFFFFFFFF)).astype(U32)
         bucket = H.mulhi32(hi, U32(self.num_buckets))
-        pilot = np.take(self.pilots, bucket)
+        pilot = _get(self.pilots, bucket).astype(U32)
         slot = H.mulhi32(H.fmix32(lo ^ H.fmix32(pilot)), U32(self.table_size)).astype(np.int64)
         if self.table_size > self.n:
             over = slot >= self.n
-            slot = np.where(over, np.take(self.remap, np.where(over, slot - self.n, 0)).astype(np.int64), slot)
+            slot = np.where(over, _get(self.remap, np.where(over, slot - self.n, 0)), slot)
         return slot
 
     def __call__(self, keys):
@@ -75,7 +87,7 @@ class MPHF:
     # ---------------------------------------------------------- num_bits (space accounting)
 
     def num_bits(self):
-        return 8 * (self.pilots.nbytes + self.remap.nbytes) + 5 * 64
+        return _vec_bits(self.pilots) + _vec_bits(self.remap) + 5 * 64
 
     # ---------------------------------------------------------- construction
 
@@ -116,8 +128,9 @@ class MPHF:
 
     @classmethod
     def _finish(cls, n, table_size, num_buckets, seed, pilots, taken):
-        return cls(n, table_size, num_buckets, seed, pilots,
-                   _minimal_remap(n, table_size, taken))
+        return cls(n, table_size, num_buckets, seed,
+                   CompactVector.from_array(pilots),
+                   CompactVector.from_array(_minimal_remap(n, table_size, taken)))
 
 
 def _minimal_remap(n, table_size, taken):
@@ -194,12 +207,12 @@ class PartitionedMPHF:
         hi2 = (h2 >> U64(32)).astype(U32)
         lo2 = (h2 & U64(0xFFFFFFFF)).astype(U32)
         b = pid * NB + H.mulhi32(hi2, U32(NB)).astype(np.int64)
-        pilot = np.take(self.pilots, b)
+        pilot = _get(self.pilots, b).astype(U32)
         local = H.mulhi32(H.fmix32(lo2 ^ H.fmix32(pilot)), U32(T)).astype(np.int64)
         npid = self.part_n[pid].astype(np.int64)
         over = local >= npid
         ridx = self.remap_off[pid].astype(np.int64) + np.where(over, local - npid, 0)
-        local = np.where(over, np.take(self.remap, ridx).astype(np.int64), local)
+        local = np.where(over, _get(self.remap, ridx), local)
         return self.cum_n[pid].astype(np.int64) + local
 
     def raw_slots(self, h):
@@ -212,7 +225,7 @@ class PartitionedMPHF:
         hi2 = (h2 >> U64(32)).astype(U32)
         lo2 = (h2 & U64(0xFFFFFFFF)).astype(U32)
         b = pid * NB + H.mulhi32(hi2, U32(NB)).astype(np.int64)
-        pilot = np.take(self.pilots, b)
+        pilot = _get(self.pilots, b).astype(U32)
         local = H.mulhi32(H.fmix32(lo2 ^ H.fmix32(pilot)), U32(T)).astype(np.int64)
         return pid * T + local
 
@@ -228,7 +241,7 @@ class PartitionedMPHF:
             sl = out[p * T : (p + 1) * T]
             sl[:npid] = arr[base : base + npid]
             ro = int(self.remap_off[p])
-            rmp = self.remap[ro : ro + (T - npid)].astype(np.int64)
+            rmp = _get(self.remap, np.arange(ro, ro + (T - npid)))
             sl[npid:] = arr[np.clip(base + rmp, 0, max(0, len(arr) - 1))]
         return out
 
@@ -239,8 +252,8 @@ class PartitionedMPHF:
         return self.eval_hashes(H.hash64_words(np.asarray(words, dtype=U32), U64(self.seed)))
 
     def num_bits(self):
-        return 8 * (self.pilots.nbytes + self.remap.nbytes + self.seeds.nbytes
-                    + self.part_n.nbytes) + 8 * 64
+        return (_vec_bits(self.pilots) + _vec_bits(self.remap)
+                + 8 * (self.seeds.nbytes + self.part_n.nbytes) + 8 * 64)
 
     # ---------------------------------------------------------- construction
 
@@ -350,8 +363,9 @@ class _PartitionedBuilder:
     def finish(self):
         cum_n = np.concatenate([[0], np.cumsum(self.part_n)]).astype(U64)
         return self.cls(self.n, self.seed, self.P, self.T, self.NB, self.seeds,
-                        self.pilots, self.part_n.astype(U32), cum_n, self.remap,
-                        self.remap_off)
+                        CompactVector.from_array(self.pilots),
+                        self.part_n.astype(U32), cum_n,
+                        CompactVector.from_array(self.remap), self.remap_off)
 
 
 def _pilot_table(h, table_size, num_buckets):

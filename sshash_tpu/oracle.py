@@ -12,6 +12,8 @@ constants::invalid_uint64.
 
 import numpy as np
 
+from . import compact as cv
+
 from . import hashing as H
 from . import kmer as K
 from .constants import (
@@ -72,7 +74,7 @@ def _decode_codewords(index, minvals):
     index into mid_load_buckets; heavy: start index into heavy_load_buckets.
     """
     ids = index.minimizer_mphf(minvals)
-    code = np.take(index.codewords, ids)
+    code = cv.take(index.codewords, ids, dtype=np.uint64)
     singleton = (code & U64(1)) == 0
     midload = (code & U64(3)) == U64(1)
     status = np.where(singleton, 0, np.where(midload, 1, 2)).astype(np.int64)
@@ -103,7 +105,7 @@ def _skew_offsets(index, kmers_canon32, begin, pid, heavy_mask):
             continue
         mp = part.mphf.eval_words(kmers_canon32[sel])
         pos_in_bucket = np.take(part.positions, mp).astype(np.int64)
-        out[sel] = np.take(index.heavy_load_buckets, begin[sel] + pos_in_bucket).astype(np.int64)
+        out[sel] = cv.take(index.heavy_load_buckets, begin[sel] + pos_in_bucket)
     return out
 
 
@@ -151,8 +153,8 @@ def lookup_regular(index, kmers64, mini=None):
         if not active.any():
             break
         mid_cand = (
-            np.take(index.mid_load_buckets,
-                    np.clip(begin + j, 0, len(index.mid_load_buckets) - 1)).astype(np.int64)
+            cv.take(index.mid_load_buckets,
+                    np.clip(begin + j, 0, len(index.mid_load_buckets) - 1))
             if len(index.mid_load_buckets) else 0
         )
         cand = np.where(status == 0, begin, np.where(heavy, skew_off, mid_cand))
@@ -196,8 +198,8 @@ def lookup_canonical_with_info(index, kmers64, kmers_rc64, minval, minpos):
         if not active.any():
             break
         mid_cand = (
-            np.take(index.mid_load_buckets,
-                    np.clip(begin + j, 0, len(index.mid_load_buckets) - 1)).astype(np.int64)
+            cv.take(index.mid_load_buckets,
+                    np.clip(begin + j, 0, len(index.mid_load_buckets) - 1))
             if len(index.mid_load_buckets) else 0
         )
         cand = np.where(status == 0, begin, np.where(heavy, skew_off, mid_cand))

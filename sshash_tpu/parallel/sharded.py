@@ -177,10 +177,13 @@ def make_sharded_lookup(cfg, per_shard, data_axis="data", bucket_axis="bucket"):
     return body
 
 
-def make_sharded_stream(cfg, per_shard, data_axis="data", bucket_axis="bucket"):
+def make_sharded_stream(cfg, per_shard, data_axis="data", bucket_axis="bucket",
+                        data_size=1):
     """One sharded streaming step: per-position lookups over reads sharded
     on the data axis, report counters derived on device (see streaming.py's
-    adjacency rules) and psum'd over the mesh."""
+    adjacency rules) and psum'd over the mesh. Chains crossing a data-shard
+    boundary are stitched with a ppermute of the previous shard's last-lane
+    state — reads need NOT align with shard boundaries."""
 
     def body(arrs, kmers32, valid, first):
         res = _branchfree_lookup(cfg, arrs, kmers32, per_shard, bucket_axis)
@@ -193,10 +196,20 @@ def make_sharded_stream(cfg, per_shard, data_axis="data", bucket_axis="bucket"):
                & (sid == jnp.roll(sid, 1))
                & (orient == jnp.roll(orient, 1))
                & (kid == jnp.roll(kid, 1) + jnp.roll(orient, 1).astype(U32)))
+        # boundary stitch: shard i receives shard i-1's last-lane state
+        # (shard 0 receives zeros => found=False => no stitch)
+        last = jnp.stack([found[-1].astype(U32), sid[-1], kid[-1],
+                          orient[-1].astype(U32)])
+        prev = jax.lax.ppermute(last, data_axis,
+                                [(i, i + 1) for i in range(data_size - 1)])
+        ext0 = (found[0] & ~first[0] & (prev[0] != 0)
+                & (sid[0] == prev[1])
+                & (orient[0] == prev[3].astype(I32))
+                & (kid[0] == prev[2] + prev[3]))
         # counters are identical on every bucket shard after the combine,
         # so psum over data only
         n_pos = jax.lax.psum(found.sum().astype(U32), data_axis)
-        n_ext = jax.lax.psum(ext.sum().astype(U32), data_axis)
+        n_ext = jax.lax.psum(ext.sum().astype(U32) + ext0.astype(U32), data_axis)
         n_inv = jax.lax.psum((~valid).sum().astype(U32), data_axis)
         n_all = jax.lax.psum(jnp.full((), valid.shape[0], dtype=U32), data_axis)
         return {
@@ -252,14 +265,44 @@ class ShardedEngine:
             shard_mids.append(glob_mid[idx] if len(idx)
                               else np.zeros((0, WR), glob_mid.dtype))
             cw_a[sl] = np.where(mid, local_begin.astype(cw_a.dtype), cw_a[sl])
+        # shard the HEAVY rows the same way: bucket sizes are recovered from
+        # the global begin layout (begins are segment starts of heavy_rows)
+        glob_heavy = host["heavy_rows"]
+        heavy_any = (status == 2).any()
+        if heavy_any:
+            hv_all = np.flatnonzero(status == 2)
+            hb = cw_a[hv_all].astype(np.int64)
+            horder = np.argsort(hb)
+            hb_sorted = hb[horder]
+            hsz_sorted = np.diff(np.concatenate([hb_sorted, [len(glob_heavy)]]))
+            hsize = np.zeros(len(hv_all), dtype=np.int64)
+            hsize[horder] = hsz_sorted
+            size_of_slot = np.zeros(len(status), dtype=np.int64)
+            size_of_slot[hv_all] = hsize
+        shard_heavies = []
+        for j in range(nb):
+            sl = slice(j * per_shard, (j + 1) * per_shard)
+            hv = status[sl] == 2
+            if not heavy_any or not hv.any():
+                shard_heavies.append(np.zeros((0, glob_heavy.shape[1]),
+                                              glob_heavy.dtype))
+                continue
+            sizes = np.where(hv, size_of_slot[sl], 0)
+            local_begin = np.cumsum(sizes) - sizes
+            idx = np.repeat(cw_a[sl][hv].astype(np.int64), sizes[hv]) + _ranges(sizes[hv])
+            shard_heavies.append(glob_heavy[idx])
+            cw_a[sl] = np.where(hv, local_begin.astype(cw_a.dtype), cw_a[sl])
         host["cw_row"][:, 1] = cw_a
         mid_len = max(1, max(len(s) for s in shard_mids))
         host["mid_rows"] = np.concatenate([
             np.pad(s, ((0, mid_len - len(s)), (0, 0))) for s in shard_mids])
+        heavy_len = max(1, max(len(s) for s in shard_heavies))
+        host["heavy_rows"] = np.concatenate([
+            np.pad(s, ((0, heavy_len - len(s)), (0, 0))) for s in shard_heavies])
 
         in_specs = {}
         self.arrs = {}
-        sharded_keys = _CW_KEYS + ("mid_rows",)
+        sharded_keys = _CW_KEYS + ("mid_rows", "heavy_rows")
         for key, arr in host.items():
             spec = P(bucket_axis) if key in sharded_keys else P()
             in_specs[key] = spec
@@ -277,7 +320,9 @@ class ShardedEngine:
                 check_vma=False,
             )
         )
-        stream_body = make_sharded_stream(self.cfg, per_shard, data_axis, bucket_axis)
+        stream_body = make_sharded_stream(self.cfg, per_shard, data_axis,
+                                          bucket_axis,
+                                          data_size=self.mesh.shape[data_axis])
         cnt_spec = {k2: P() for k2 in ("num_kmers", "num_positive_kmers",
                                        "num_extensions", "num_searches",
                                        "num_invalid_kmers", "num_negative_kmers")}
@@ -293,6 +338,19 @@ class ShardedEngine:
         self._kmer_sharding = NamedSharding(self.mesh, P(data_axis, None))
         self._flag_sharding = NamedSharding(self.mesh, P(data_axis))
         self._batch_multiple = self.mesh.shape[data_axis]
+
+    def per_device_bytes(self):
+        """Index bytes resident on ONE device (sharded arrays count only
+        their local shard). The fused candidate rows — the dominant index
+        component — shard on the bucket axis, so this drops ~linearly in
+        mesh.shape['bucket']."""
+        dev0 = self.mesh.devices.ravel()[0]
+        total = 0
+        for arr in self.arrs.values():
+            for s in arr.addressable_shards:
+                if s.device == dev0:
+                    total += s.data.nbytes
+        return total
 
     def lookup_device(self, kmers32):
         return self._lookup(self.arrs, kmers32)
@@ -321,10 +379,9 @@ class ShardedEngine:
     def stream_report(self, kmers64, valid, first):
         """One sharded streaming step over per-position kmers of a read
         batch: returns the psum'd streaming_query_report counters.
-        Batch length must be a multiple of the data-axis size, and read
-        boundaries should align with data-shard boundaries (extension
-        chains do not cross shards; a straddling read's first lane in a
-        shard counts as a search instead of an extension)."""
+        Batch length must be a multiple of the data-axis size; reads may
+        straddle shard boundaries (chains are stitched with a ppermute of
+        the previous shard's last-lane state)."""
         kmers64 = np.atleast_2d(np.asarray(kmers64, dtype=np.uint64))
         kmers32 = K.kmers_to_u32(kmers64, self.cfg.k)
         dev = jax.device_put(jnp.asarray(kmers32), self._kmer_sharding)

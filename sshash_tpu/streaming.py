@@ -320,7 +320,12 @@ class _DeviceStream:
             akid = ares["kmer_id"]
             aorient = ares["kmer_orientation"]  # (A,) i32
 
-            # ---- phase 2: chain extension, one char compare per follower
+            # ---- phase 2: chain extension, one char compare per follower.
+            # The in-string test uses the ANCHOR's string bounds (VPU only —
+            # the chain stays in the anchor's string by construction, like
+            # the reference's cursor remaining_string_bases,
+            # streaming_query.hpp:182-197); the only gather is the string
+            # char compare.
             t = jnp.arange(S, dtype=U32j)[None, :]
             fwd = (aorient[:, None] == FWD)
             og = jnp.where(fwd, aoff[:, None] + t, aoff[:, None] - t)
@@ -333,7 +338,9 @@ class _DeviceStream:
             charok = jnp.where(fwd, schar == rchar, schar == (rchar ^ U32j(2)))
             vg = valid.reshape(A, S)
             fg = first.reshape(A, S)
-            instr = _bit_at(arrs["vstart"], og)
+            asb = ares["string_begin"][:, None]
+            ase = ares["string_end"][:, None]
+            instr = (og >= asb) & ((og + U32j(cfg.k)) <= ase)
             cond = vg & ~fg & charok & instr & ~under
             cond = cond.at[:, 0].set(afound)
             matched = jnp.cumprod(cond.astype(I32), axis=1) > 0
@@ -352,80 +359,88 @@ class _DeviceStream:
             need = active & valid & ~found_l
             Wp = P_ // 8
 
-            # both-strand minimizer hash per position (VPU-only + 4 gathers)
-            w_ = cfg.k - cfg.m + 1
-            h_f, h_r = Pk.char_mmer_hashes(words32, words32.shape[0] * 16,
-                                           cfg.m, u.const64(cfg.magic))
-            mh_f = Pk.sliding_min_u64(h_f, w_)
-            mh_r = Pk.sliding_min_u64(h_r, w_)
-            pmh_f = u.u64(jnp.take(mh_f.hi, pos.astype(I32), mode="clip"),
-                          jnp.take(mh_f.lo, pos.astype(I32), mode="clip"))
-            pmh_r = u.u64(jnp.take(mh_r.hi, pos.astype(I32), mode="clip"),
-                          jnp.take(mh_r.lo, pos.astype(I32), mode="clip"))
+            def phase3(carry):
+                """Fallback searches with the negative-minimizer-run skip;
+                the whole phase (incl. the per-char minimizer hashing) is
+                gated by lax.cond — hit-dense chunks pay nothing for it."""
+                found_l, sid_l, kid_l, ori_l = carry
+                # both-strand minimizer hash per position (VPU + 4 gathers)
+                w_ = cfg.k - cfg.m + 1
+                h_f, h_r = Pk.char_mmer_hashes(words32, words32.shape[0] * 16,
+                                               cfg.m, u.const64(cfg.magic))
+                mh_f = Pk.sliding_min_u64(h_f, w_)
+                mh_r = Pk.sliding_min_u64(h_r, w_)
+                pmh_f = u.u64(jnp.take(mh_f.hi, pos.astype(I32), mode="clip"),
+                              jnp.take(mh_f.lo, pos.astype(I32), mode="clip"))
+                pmh_r = u.u64(jnp.take(mh_r.hi, pos.astype(I32), mode="clip"),
+                              jnp.take(mh_r.lo, pos.astype(I32), mode="clip"))
 
-            def prev64(v):
-                return u.u64(jnp.roll(v.hi, 1).at[0].set(0xFFFFFFFF),
-                             jnp.roll(v.lo, 1).at[0].set(0xFFFFFFFF))
+                def prev64(v):
+                    return u.u64(jnp.roll(v.hi, 1).at[0].set(0xFFFFFFFF),
+                                 jnp.roll(v.lo, 1).at[0].set(0xFFFFFFFF))
 
-            same_pair = (u.equal(pmh_f, prev64(pmh_f))
-                         & u.equal(pmh_r, prev64(pmh_r)) & ~first)
-            prev_need = jnp.roll(need, 1).at[0].set(False)
-            head = need & ~(prev_need & same_pair)
+                same_pair = (u.equal(pmh_f, prev64(pmh_f))
+                             & u.equal(pmh_r, prev64(pmh_r)) & ~first)
+                prev_need = jnp.roll(need, 1).at[0].set(False)
+                head = need & ~(prev_need & same_pair)
 
-            # per-lane run-head lane index (segmented broadcast)
-            seg = jnp.cumsum(head.astype(I32)) - 1
-            nheads = seg[-1] + 1
-            head_lane = jnp.zeros((P_,), dtype=I32).at[
-                jnp.where(head, seg, P_)].set(lane, mode="drop")
+                # per-lane run-head lane index (segmented broadcast)
+                seg = jnp.cumsum(head.astype(I32)) - 1
+                nheads = seg[-1] + 1
+                head_mf = jnp.zeros((P_,), dtype=bool)  # per-HEAD-rank mf
 
-            head_mf = jnp.zeros((P_,), dtype=bool)  # per-HEAD-rank mf flag
-
-            def run_windows(sel, nsel, carry, record_mf):
-                """Compacted full lookups over `sel` lanes (nsel = sel.sum())."""
-                found_l, sid_l, kid_l, ori_l, head_mf = carry
-                rank = jnp.cumsum(sel.astype(I32)) - 1
-                lids = jnp.zeros((P_,), dtype=I32).at[
-                    jnp.where(sel, rank, P_)].set(lane, mode="drop")
-
-                def wbody(w, carry):
+                def run_windows(sel, nsel, carry, record_mf):
+                    """Compacted full lookups over `sel` lanes."""
                     found_l, sid_l, kid_l, ori_l, head_mf = carry
-                    slot = w * Wp + jnp.arange(Wp, dtype=I32)
-                    lid = jnp.take(lids, jnp.clip(slot, 0, P_ - 1), mode="clip")
-                    ok = slot < nsel
-                    lp = jnp.take(pos, lid, mode="clip")
-                    km = Pk.read_kmers_at(words32, jnp.where(ok, lp, U32j(0)), cfg.k)
-                    r2 = lookup(arrs, km)
-                    f2 = r2["found"] & ok
-                    tgt = jnp.where(f2, lid, P_)
-                    found_l = found_l.at[tgt].set(True, mode="drop")
-                    sid_l = sid_l.at[tgt].set(r2["string_id"], mode="drop")
-                    kid_l = kid_l.at[tgt].set(r2["kmer_id"], mode="drop")
-                    ori_l = ori_l.at[tgt].set(r2["kmer_orientation"], mode="drop")
-                    if record_mf:
-                        # store minimizer_found per head RANK
-                        hrank = jnp.take(seg, jnp.clip(lid, 0, P_ - 1), mode="clip")
-                        head_mf = head_mf.at[jnp.where(ok, hrank, P_)].set(
-                            r2["minimizer_found"] | f2, mode="drop")
-                    return found_l, sid_l, kid_l, ori_l, head_mf
+                    rank = jnp.cumsum(sel.astype(I32)) - 1
+                    lids = jnp.zeros((P_,), dtype=I32).at[
+                        jnp.where(sel, rank, P_)].set(lane, mode="drop")
 
-                nw = (nsel + Wp - 1) // Wp
-                _, out = jax.lax.while_loop(
-                    lambda c: c[0] < nw,
-                    lambda c: (c[0] + 1, wbody(c[0], c[1])),
-                    (jnp.int32(0), carry))
-                return out
+                    def wbody(w, carry):
+                        found_l, sid_l, kid_l, ori_l, head_mf = carry
+                        slot = w * Wp + jnp.arange(Wp, dtype=I32)
+                        lid = jnp.take(lids, jnp.clip(slot, 0, P_ - 1), mode="clip")
+                        ok = slot < nsel
+                        lp = jnp.take(pos, lid, mode="clip")
+                        km = Pk.read_kmers_at(words32, jnp.where(ok, lp, U32j(0)), cfg.k)
+                        r2 = lookup(arrs, km)
+                        f2 = r2["found"] & ok
+                        tgt = jnp.where(f2, lid, P_)
+                        found_l = found_l.at[tgt].set(True, mode="drop")
+                        sid_l = sid_l.at[tgt].set(r2["string_id"], mode="drop")
+                        kid_l = kid_l.at[tgt].set(r2["kmer_id"], mode="drop")
+                        ori_l = ori_l.at[tgt].set(r2["kmer_orientation"], mode="drop")
+                        if record_mf:
+                            # store minimizer_found per head RANK
+                            hrank = jnp.take(seg, jnp.clip(lid, 0, P_ - 1), mode="clip")
+                            head_mf = head_mf.at[jnp.where(ok, hrank, P_)].set(
+                                r2["minimizer_found"] | f2, mode="drop")
+                        return found_l, sid_l, kid_l, ori_l, head_mf
 
-            carry = (found_l, sid_l, kid_l, ori_l, head_mf)
-            carry = run_windows(head, nheads, carry, record_mf=True)
-            found_l, sid_l, kid_l, ori_l, head_mf = carry
+                    nw = (nsel + Wp - 1) // Wp
+                    _, out = jax.lax.while_loop(
+                        lambda c: c[0] < nw,
+                        lambda c: (c[0] + 1, wbody(c[0], c[1])),
+                        (jnp.int32(0), carry))
+                    return out
 
-            # skip non-head run members whose head proved the minimizer pair
-            # absent; the rest (head found or minimizer present) round 2
-            my_mf = jnp.take(head_mf, jnp.clip(seg, 0, P_ - 1), mode="clip")
-            round2 = need & ~head & my_mf
-            n2 = round2.sum()
-            carry = run_windows(round2, n2, carry, record_mf=False)
-            found_l, sid_l, kid_l, ori_l, _ = carry
+                carry5 = (found_l, sid_l, kid_l, ori_l, head_mf)
+                carry5 = run_windows(head, nheads, carry5, record_mf=True)
+                found_l, sid_l, kid_l, ori_l, head_mf = carry5
+
+                # skip non-head run members whose head proved the minimizer
+                # pair absent; the rest (head found or minimizer present)
+                # round 2
+                my_mf = jnp.take(head_mf, jnp.clip(seg, 0, P_ - 1), mode="clip")
+                round2 = need & ~head & my_mf
+                n2 = round2.sum()
+                carry5 = run_windows(round2, n2, carry5, record_mf=False)
+                found_l, sid_l, kid_l, ori_l, _ = carry5
+                return found_l, sid_l, kid_l, ori_l
+
+            found_l, sid_l, kid_l, ori_l = jax.lax.cond(
+                need.sum() > 0, phase3, lambda c: c,
+                (found_l, sid_l, kid_l, ori_l))
 
             # ---- derive the report counters (see module docstring)
             found = found_l & valid
@@ -458,14 +473,14 @@ class _DeviceStream:
             return
         # split long reads into <=P-position segments with k-1 char overlap
         # (the reference's multiline buffer carry, src/query.cpp:28-37)
-        seg = self.P // 2
+        seg = self.P
         for off in range(0, n - k + 1, seg):
             chunk = seq[off : off + seg + k - 1]
             self._add_segment(bytes(chunk), off == 0)
 
     def _add_segment(self, seq, is_start):
         npos = len(seq) - self.k + 1
-        if (self._pending + npos > self.P // 2
+        if (self._pending + npos > self.P
                 or len(self._seqs) + 1 > self.R
                 or self._chars + len(seq) > self.CW * 16):
             self.flush()

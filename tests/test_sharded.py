@@ -105,3 +105,44 @@ def test_sharded_from_loaded_index(dict_k31, tmp_path, rng):
     want = oracle.lookup(dict_k31.index, kmers)
     got, _ = eng.lookup(kmers)
     np.testing.assert_array_equal(got["kmer_id"], want["kmer_id"])
+
+
+def test_sharded_stream_unaligned_reads(dict_k31, rng):
+    """Reads straddling data-shard boundaries: the ppermute boundary stitch
+    must reproduce the GLOBAL (unsharded) counter derivation."""
+    from sshash_tpu.parallel import ShardedEngine
+    from sshash_tpu.streaming import derive_report
+
+    index = dict_k31.index
+    eng = ShardedEngine(index, _mesh(4, 2))
+    n_shards, per_shard, read_len = 4, 128, 96  # 96 does not divide 128
+    B = n_shards * per_shard
+    ids = []
+    first = np.zeros(B, dtype=bool)
+    pos = 0
+    while pos < B:
+        L = min(read_len, B - pos)
+        start = int(rng.integers(0, index.num_kmers - L))
+        ids.extend(range(start, start + L))
+        first[pos] = True
+        pos += L
+    ids = np.asarray(ids)
+    kmers = oracle.access(index, ids)
+    valid = np.ones(B, dtype=bool)
+    rep = eng.stream_report(kmers, valid, first)
+
+    res = oracle.lookup(index, kmers)
+    want = derive_report(res["kmer_id"] != INVALID, res["string_id"],
+                         res["kmer_id"], res["kmer_orientation"], valid, first)
+    assert {k2: rep[k2] for k2 in want} == want, (rep, want)
+
+
+def test_sharded_per_device_bytes_drop(dict_k31):
+    """The dominant arrays shard on the bucket axis: per-device bytes must
+    drop going 1 -> 4 bucket shards."""
+    from sshash_tpu.parallel import ShardedEngine
+
+    e1 = ShardedEngine(dict_k31.index, _mesh(8, 1))
+    e4 = ShardedEngine(dict_k31.index, _mesh(2, 4))
+    b1, b4 = e1.per_device_bytes(), e4.per_device_bytes()
+    assert b4 < 0.55 * b1, (b1, b4)
