@@ -558,8 +558,8 @@ def make_lookup(cfg):
 
         if cfg.canonical:
             kmers_rc32 = P.revcomp_kmers(kmers32, cfg.k)
-            mv_f, mp_f = P.compute_minimizer(kmers32, cfg.k, cfg.m, magic)
-            mv_r, mp_r = P.compute_minimizer(kmers_rc32, cfg.k, cfg.m, magic)
+            mv_f, mp_f, mv_r, mp_r = P.compute_minimizer_two_strand(
+                kmers32, kmers_rc32, cfg.k, cfg.m, magic)
             rc_first = u.less(mv_r, mv_f)
             tie = u.equal(mv_r, mv_f)
             mv1 = u.select(rc_first, mv_r, mv_f)

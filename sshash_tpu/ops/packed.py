@@ -177,6 +177,51 @@ def compute_minimizer(kmers32, k, m, magic):
     return best_v, best_p
 
 
+def compute_minimizer_both(kmers32, k, m, magic):
+    """Both-strand minimizers from ONE window scan: the RC kmer's window at
+    RC-position l is the reverse complement of the forward window at
+    j = k-m-l, so the RC scan reuses each extracted forward window (a cheap
+    per-window revcomp instead of a second full extraction pass).
+    Tie rules: forward keeps the leftmost minimum (strict <); the RC scan
+    must keep the LEFTMOST minimum in RC coordinates = rightmost j (<=).
+    Returns (mv_f, mp_f, mv_r, mp_r) matching two compute_minimizer calls
+    on (kmers, revcomp(kmers)) bit for bit."""
+    B = kmers32.shape[0]
+    nw = k - m + 1
+    bf_h = bf_v = br_h = br_v = None
+    bf_p = jnp.zeros((B,), dtype=jnp.int32)
+    br_j = jnp.zeros((B,), dtype=jnp.int32)
+    for j in range(nw):
+        v = extract_window(kmers32, 2 * j, 2 * m)
+        h = u.mixer64(v, magic)
+        vr = revcomp_mmer64(v, m)
+        hr = u.mixer64(vr, magic)
+        if bf_h is None:
+            bf_h, bf_v, br_h, br_v = h, v, hr, vr
+        else:
+            upd = u.less(h, bf_h)
+            bf_h = u.select(upd, h, bf_h)
+            bf_v = u.select(upd, v, bf_v)
+            bf_p = jnp.where(upd, jnp.int32(j), bf_p)
+            updr = ~u.less(br_h, hr)  # hr <= best: rightmost j wins
+            br_h = u.select(updr, hr, br_h)
+            br_v = u.select(updr, vr, br_v)
+            br_j = jnp.where(updr, jnp.int32(j), br_j)
+    return bf_v, bf_p, br_v, jnp.int32(k - m) - br_j
+
+
+def compute_minimizer_two_strand(kmers32, kmers_rc32, k, m, magic):
+    """Both-strand minimizers; uses the fused single-scan kernel for short
+    window counts and falls back to two passes for long ones (the 40+-step
+    dual dependency chain of the fused form triggers pathological XLA
+    compile times at k>~55)."""
+    if k - m + 1 <= 24:
+        return compute_minimizer_both(kmers32, k, m, magic)
+    mv_f, mp_f = compute_minimizer(kmers32, k, m, magic)
+    mv_r, mp_r = compute_minimizer(kmers_rc32, k, m, magic)
+    return mv_f, mp_f, mv_r, mp_r
+
+
 def char_mmer_hashes(words32, n_chars_padded, m, magic):
     """Per-CHAR m-mer mixer hashes over a packed buffer: h[c] = mixer(m-mer
     starting at char c), and the RC-strand hashes. VPU-only (funnel shifts

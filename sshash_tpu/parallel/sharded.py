@@ -122,8 +122,8 @@ def _branchfree_lookup(cfg, arrs, kmers32, per_shard, bucket_axis):
     if True:
         if cfg.canonical:
             kmers_rc32 = Pk.revcomp_kmers(kmers32, cfg.k)
-            mv_f, mp_f = Pk.compute_minimizer(kmers32, cfg.k, cfg.m, magic)
-            mv_r, mp_r = Pk.compute_minimizer(kmers_rc32, cfg.k, cfg.m, magic)
+            mv_f, mp_f, mv_r, mp_r = Pk.compute_minimizer_two_strand(
+                kmers32, kmers_rc32, cfg.k, cfg.m, magic)
             rc_first = u.less(mv_r, mv_f)
             tie = u.equal(mv_r, mv_f)
             mv1 = u.select(rc_first, mv_r, mv_f)

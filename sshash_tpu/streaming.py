@@ -299,16 +299,26 @@ class _DeviceStream:
 
             lane = jnp.arange(P_, dtype=I32)
             active = lane < count
-            # lane -> read via scatter marks + cumsum (reads sorted by pstart)
+            # lane -> segment mapping WITHOUT full-width scatters: segment
+            # starts scatter into a P/32-bit mask (R-sized op), and the char
+            # position is AFFINE in the segment index because segments are
+            # concatenated contiguously: cstart[r] = pstart[r] + r*(k-1).
             pstart = jnp.cumsum(rnpos) - rnpos
-            marks = jnp.zeros((P_,), dtype=I32).at[
-                jnp.where(jnp.arange(R_) < nreads, pstart, P_)].add(1, mode="drop")
-            r = jnp.cumsum(marks) - 1
-            r = jnp.clip(r, 0, R_ - 1)
-            pos = jnp.take(rstart, r, mode="clip") + (
-                lane - jnp.take(pstart, r, mode="clip")).astype(U32j)
-            first = ((jnp.take(rfirst_bits, r >> 5, mode="clip") >> (r & 31)) & 1) != 0
-            first = first & (lane == jnp.take(pstart, r, mode="clip"))
+            valid_r = jnp.arange(R_, dtype=I32) < nreads
+            pbit = U32j(1) << (pstart & U32j(31))
+            sbits = jnp.zeros((P_ // 32 + 1,), dtype=U32j).at[
+                jnp.where(valid_r, (pstart >> 5).astype(I32), P_)].add(
+                pbit, mode="drop")
+            rr = jnp.arange(R_, dtype=I32)
+            ris_first = ((jnp.take(rfirst_bits, rr >> 5, mode="clip")
+                          >> (rr & 31)) & 1) != 0
+            fbits = jnp.zeros((P_ // 32 + 1,), dtype=U32j).at[
+                jnp.where(valid_r & ris_first, (pstart >> 5).astype(I32),
+                          P_)].add(pbit, mode="drop")
+            sb = ((sbits[lane >> 5] >> (lane & 31).astype(U32j)) & 1) != 0
+            r = jnp.cumsum(sb.astype(I32)) - 1
+            pos = (lane + r * (cfg.k - 1)).astype(U32j)
+            first = ((fbits[lane >> 5] >> (lane & 31).astype(U32j)) & 1) != 0
             valid = (((valid_bits[lane >> 5] >> (lane & 31).astype(U32j)) & 1) != 0) & active
 
             # ---- phase 1: anchor lookups (compacted to A = P/S lanes)
@@ -326,29 +336,31 @@ class _DeviceStream:
             # the reference's cursor remaining_string_bases,
             # streaming_query.hpp:182-197); the only gather is the string
             # char compare.
-            t = jnp.arange(S, dtype=U32j)[None, :]
-            fwd = (aorient[:, None] == FWD)
-            og = jnp.where(fwd, aoff[:, None] + t, aoff[:, None] - t)
-            under = ~fwd & (aoff[:, None] < t)
+            # computed in (S, A) layout: A rides the 128-lane axis (an (A, S)
+            # layout would put S=16 on it, wasting 7/8 of the VPU)
+            t = jnp.arange(S, dtype=U32j)[:, None]
+            fwd = (aorient[None, :] == FWD)
+            og = jnp.where(fwd, aoff[None, :] + t, aoff[None, :] - t)
+            under = ~fwd & (aoff[None, :] < t)
             k1 = U32j(cfg.k - 1)
             qs = jnp.where(fwd, og + k1, og)
-            posg = pos.reshape(A, S)
+            posg = pos.reshape(A, S).T
             schar = _char_at(arrs["strings32"], qs)
             rchar = _char_at(words32, posg + k1)
             charok = jnp.where(fwd, schar == rchar, schar == (rchar ^ U32j(2)))
-            vg = valid.reshape(A, S)
-            fg = first.reshape(A, S)
-            asb = ares["string_begin"][:, None]
-            ase = ares["string_end"][:, None]
+            vg = valid.reshape(A, S).T
+            fg = first.reshape(A, S).T
+            asb = ares["string_begin"][None, :]
+            ase = ares["string_end"][None, :]
             instr = (og >= asb) & ((og + U32j(cfg.k)) <= ase)
             cond = vg & ~fg & charok & instr & ~under
-            cond = cond.at[:, 0].set(afound)
-            matched = jnp.cumprod(cond.astype(I32), axis=1) > 0
+            cond = cond.at[0, :].set(afound)
+            matched = jnp.cumprod(cond.astype(I32), axis=0) > 0
 
             sgn = jnp.where(fwd, U32j(1), U32j(0xFFFFFFFF))  # +1 / -1 mod 2^32
-            found_l = matched.reshape(P_)
+            found_l = matched.T.reshape(P_)
             sid_l = jnp.broadcast_to(asid[:, None], (A, S)).reshape(P_)
-            kid_l = (akid[:, None] + sgn * t).reshape(P_)
+            kid_l = (akid[None, :] + sgn * t).T.reshape(P_)
             ori_l = jnp.broadcast_to(aorient[:, None], (A, S)).reshape(P_)
 
             # ---- phase 3: fallback lookups with the negative-minimizer-run
