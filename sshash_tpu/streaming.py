@@ -315,86 +315,156 @@ class _DeviceStream:
             fbits = jnp.zeros((P_ // 32 + 1,), dtype=U32j).at[
                 jnp.where(valid_r & ris_first, (pstart >> 5).astype(I32),
                           P_)].add(pbit, mode="drop")
-            sb = ((sbits[lane >> 5] >> (lane & 31).astype(U32j)) & 1) != 0
-            r = jnp.cumsum(sb.astype(I32)) - 1
-            pos = (lane + r * (cfg.k - 1)).astype(U32j)
-            first = ((fbits[lane >> 5] >> (lane & 31).astype(U32j)) & 1) != 0
-            valid = (((valid_bits[lane >> 5] >> (lane & 31).astype(U32j)) & 1) != 0) & active
+            # groups of S=16 lanes: every per-lane mask is a HALFWORD of its
+            # bit array, so all (S, A) masks come from A-wide extractions —
+            # no full-width bit expands on the fast path
+            g = jnp.arange(A, dtype=I32)
+            t = jnp.arange(S, dtype=U32j)[:, None]  # (S, 1)
 
-            # ---- phase 1: anchor lookups (compacted to A = P/S lanes)
-            apos = pos[::S]
+            def halves(bits):
+                w = jnp.take(bits, g >> 1, mode="clip")
+                return (w >> ((g & 1) * 16).astype(U32j)) & U32j(0xFFFF)
+
+            vhalf = halves(valid_bits)
+            fhalf = halves(fbits)
+            shalf = halves(sbits)
+            vg = ((vhalf[None, :] >> t) & 1) != 0  # (S, A) valid
+            fg = ((fhalf[None, :] >> t) & 1) != 0  # read starts
+            sg = ((shalf[None, :] >> t) & 1) != 0  # segment starts
+
+            def pc16(v):
+                v = v - ((v >> 1) & U32j(0x5555))
+                v = (v & U32j(0x3333)) + ((v >> 2) & U32j(0x3333))
+                v = (v + (v >> 4)) & U32j(0x0F0F)
+                return (v + (v >> 8)) & U32j(0x1F)
+
+            # r at each anchor lane from group popcounts (A-wide cumsum)
+            pch = pc16(shalf).astype(I32)
+            cum_g = jnp.cumsum(pch) - pch
+            r_a = cum_g + (shalf & 1).astype(I32) - 1
+            apos = (16 * g + r_a * (cfg.k - 1)).astype(U32j)
+
+            # ---- phase 1: anchor lookups (A = P/S lanes)
             ares = lookup(arrs, Pk.read_kmers_at(words32, apos, cfg.k))
-            afound = ares["found"] & valid[::S]
+            afound = ares["found"] & vg[0]
             aoff = ares["kmer_offset"]
             asid = ares["string_id"]
             akid = ares["kmer_id"]
             aorient = ares["kmer_orientation"]  # (A,) i32
+            fwd_a = aorient == FWD
+            sgn_a = jnp.where(fwd_a, U32j(1), U32j(0xFFFFFFFF))  # +-1 mod 2^32
 
-            # ---- phase 2: chain extension, one char compare per follower.
-            # The in-string test uses the ANCHOR's string bounds (VPU only —
-            # the chain stays in the anchor's string by construction, like
-            # the reference's cursor remaining_string_bases,
-            # streaming_query.hpp:182-197); the only gather is the string
-            # char compare.
-            # computed in (S, A) layout: A rides the 128-lane axis (an (A, S)
-            # layout would put S=16 on it, wasting 7/8 of the VPU)
-            t = jnp.arange(S, dtype=U32j)[:, None]
-            fwd = (aorient[None, :] == FWD)
-            og = jnp.where(fwd, aoff[None, :] + t, aoff[None, :] - t)
-            under = ~fwd & (aoff[None, :] < t)
+            # ---- phase 2: chain extension. A chain's S string chars and S
+            # read chars are CONSECUTIVE, so each anchor fetches ONE aligned
+            # 2-word window per source (A-wide gathers) and the per-follower
+            # compares are pure VPU in (S, A) layout. The in-string test
+            # uses the anchor's string bounds (streaming_query.hpp:182-197).
             k1 = U32j(cfg.k - 1)
-            qs = jnp.where(fwd, og + k1, og)
-            posg = pos.reshape(A, S).T
-            schar = _char_at(arrs["strings32"], qs)
-            rchar = _char_at(words32, posg + k1)
-            charok = jnp.where(fwd, schar == rchar, schar == (rchar ^ U32j(2)))
-            vg = valid.reshape(A, S).T
-            fg = first.reshape(A, S).T
+
+            def win16(words, base):
+                """chars [base, base+16) as one aligned uint32 per anchor."""
+                w0i = (base >> 4).astype(I32)
+                w0 = jnp.take(words, w0i, mode="clip")
+                w1 = jnp.take(words, w0i + 1, mode="clip")
+                sh = (base & U32j(15)) * 2
+                nz = sh != 0
+                return (w0 >> sh) | jnp.where(nz, w1 << ((U32j(32) - sh) & U32j(31)), U32j(0))
+
+            base_s = jnp.where(fwd_a, aoff + k1,
+                               aoff - jnp.minimum(aoff, U32j(S - 1)))
+            saw = win16(arrs["strings32"], base_s)
+            raw = win16(words32, apos + k1)
+
+            og = jnp.where(fwd_a[None, :], aoff[None, :] + t, aoff[None, :] - t)
+            under = (~fwd_a)[None, :] & (aoff[None, :] < t)
+            idx_s = jnp.where(fwd_a[None, :], t, og - base_s[None, :])
+            schar = (saw[None, :] >> ((idx_s & U32j(15)) * 2)) & 3
+            rchar = (raw[None, :] >> (t * 2)) & 3
+            charok = jnp.where(fwd_a[None, :], schar == rchar,
+                               schar == (rchar ^ U32j(2)))
             asb = ares["string_begin"][None, :]
             ase = ares["string_end"][None, :]
             instr = (og >= asb) & ((og + U32j(cfg.k)) <= ase)
-            cond = vg & ~fg & charok & instr & ~under
+            cond = vg & ~fg & ~sg & charok & instr & ~under
             cond = cond.at[0, :].set(afound)
-            matched = jnp.cumprod(cond.astype(I32), axis=0) > 0
+            matched = jnp.cumprod(cond.astype(I32), axis=0) > 0  # (S, A)
+            miss = vg & ~matched
+            # fallback window width: small enough that high-hit chunks (few
+            # misses) do one cheap masked lookup, big enough that low-hit
+            # chunks don't loop excessively (while_loop iterations are
+            # dispatch-free on device)
+            Wp = max(4096, P_ // 64)
 
-            sgn = jnp.where(fwd, U32j(1), U32j(0xFFFFFFFF))  # +1 / -1 mod 2^32
-            found_l = matched.T.reshape(P_)
-            sid_l = jnp.broadcast_to(asid[:, None], (A, S)).reshape(P_)
-            kid_l = (akid[None, :] + sgn * t).T.reshape(P_)
-            ori_l = jnp.broadcast_to(aorient[:, None], (A, S)).reshape(P_)
+            def derive_fast(_):
+                """No fallback needed (every valid position chained): all
+                counters derive from the (S, A) matrices + anchor arrays."""
+                n_valid = vg.sum().astype(U32j)
+                n_pos = n_valid  # matched == vg here
+                ext_in = matched[1:, :].sum().astype(U32j)
+                prev_ok = jnp.concatenate([jnp.zeros(1, bool), matched[S - 1, :-1]])
+                extg = (matched[0] & prev_ok & ~((fhalf & 1) != 0)
+                        & ~((shalf & 1) != 0)
+                        & (asid == jnp.roll(asid, 1))
+                        & (aorient == jnp.roll(aorient, 1))
+                        & (akid == jnp.roll(akid, 1)
+                           + jnp.roll(sgn_a, 1) * U32j(S)))
+                n_ext = ext_in + extg.sum().astype(U32j)
+                n_inv = count.astype(U32j) - n_valid
+                last = jnp.clip(count.astype(I32) - 1, 0, P_ - 1)
+                gl = last // S
+                tl = (last % S).astype(U32j)
+                fl = jnp.take(matched.reshape(-1), (last % S) * A + gl) != 0
+                counters = jnp.stack([count.astype(U32j), n_pos, n_ext, n_inv])
+                lane0 = jnp.stack([matched[0, 0].astype(U32j), asid[0], akid[0],
+                                   aorient[0].astype(U32j)])
+                lastv = jnp.stack([
+                    fl.astype(U32j), jnp.take(asid, gl),
+                    jnp.take(akid, gl) + jnp.take(sgn_a, gl) * tl,
+                    jnp.take(aorient, gl).astype(U32j)])
+                return counters, lane0, lastv
 
-            # ---- phase 3: fallback lookups with the negative-minimizer-run
-            # skip (reference streaming_query.hpp:150-157): consecutive
-            # unresolved positions with identical both-strand minimizer
-            # values form a RUN; one lookup per run head suffices to prove
-            # the whole run absent when its minimizer is not in the index.
-            need = active & valid & ~found_l
-            Wp = P_ // 8
+            def derive_full(_):
+                """Some positions missed their chain: build per-lane arrays,
+                run the fallback searches (with the negative-minimizer-run
+                skip, reference streaming_query.hpp:150-157), then derive
+                counters from per-lane adjacency."""
+                found_l = matched.T.reshape(P_)
+                sid_l = jnp.broadcast_to(asid[:, None], (A, S)).reshape(P_)
+                kid_l = (akid[None, :] + sgn_a[None, :] * t).T.reshape(P_)
+                ori_l = jnp.broadcast_to(aorient[:, None], (A, S)).reshape(P_)
+                valid = vg.T.reshape(P_)
+                first = fg.T.reshape(P_)
+                sb = ((sbits[lane >> 5] >> (lane & 31).astype(U32j)) & 1) != 0
+                r = jnp.cumsum(sb.astype(I32)) - 1
+                pos = (lane + r * (cfg.k - 1)).astype(U32j)
+                need = valid & ~found_l
+                n_need = need.sum()
 
-            def phase3(carry):
-                """Fallback searches with the negative-minimizer-run skip;
-                the whole phase (incl. the per-char minimizer hashing) is
-                gated by lax.cond — hit-dense chunks pay nothing for it."""
-                found_l, sid_l, kid_l, ori_l = carry
-                # both-strand minimizer hash per position (VPU + 4 gathers)
-                w_ = cfg.k - cfg.m + 1
-                h_f, h_r = Pk.char_mmer_hashes(words32, words32.shape[0] * 16,
-                                               cfg.m, u.const64(cfg.magic))
-                mh_f = Pk.sliding_min_u64(h_f, w_)
-                mh_r = Pk.sliding_min_u64(h_r, w_)
-                pmh_f = u.u64(jnp.take(mh_f.hi, pos.astype(I32), mode="clip"),
-                              jnp.take(mh_f.lo, pos.astype(I32), mode="clip"))
-                pmh_r = u.u64(jnp.take(mh_r.hi, pos.astype(I32), mode="clip"),
-                              jnp.take(mh_r.lo, pos.astype(I32), mode="clip"))
+                def heads_runskip(_):
+                    """Negative-minimizer-run skip (streaming_query.hpp:
+                    150-157): only worth the per-char hashing when misses
+                    are NUMEROUS (low-hit chunks)."""
+                    w_ = cfg.k - cfg.m + 1
+                    h_f, h_r = Pk.char_mmer_hashes(words32, words32.shape[0] * 16,
+                                                   cfg.m, u.const64(cfg.magic))
+                    mh_f = Pk.sliding_min_u64(h_f, w_)
+                    mh_r = Pk.sliding_min_u64(h_r, w_)
+                    pmh_f = u.u64(jnp.take(mh_f.hi, pos.astype(I32), mode="clip"),
+                                  jnp.take(mh_f.lo, pos.astype(I32), mode="clip"))
+                    pmh_r = u.u64(jnp.take(mh_r.hi, pos.astype(I32), mode="clip"),
+                                  jnp.take(mh_r.lo, pos.astype(I32), mode="clip"))
 
-                def prev64(v):
-                    return u.u64(jnp.roll(v.hi, 1).at[0].set(0xFFFFFFFF),
-                                 jnp.roll(v.lo, 1).at[0].set(0xFFFFFFFF))
+                    def prev64(v):
+                        return u.u64(jnp.roll(v.hi, 1).at[0].set(0xFFFFFFFF),
+                                     jnp.roll(v.lo, 1).at[0].set(0xFFFFFFFF))
 
-                same_pair = (u.equal(pmh_f, prev64(pmh_f))
-                             & u.equal(pmh_r, prev64(pmh_r)) & ~first)
-                prev_need = jnp.roll(need, 1).at[0].set(False)
-                head = need & ~(prev_need & same_pair)
+                    same_pair = (u.equal(pmh_f, prev64(pmh_f))
+                                 & u.equal(pmh_r, prev64(pmh_r)) & ~first)
+                    prev_need = jnp.roll(need, 1).at[0].set(False)
+                    return need & ~(prev_need & same_pair)
+
+                head = jax.lax.cond(n_need > P_ // 64, heads_runskip,
+                                    lambda _: need, jnp.int32(0))
 
                 # per-lane run-head lane index (segmented broadcast)
                 seg = jnp.cumsum(head.astype(I32)) - 1
@@ -448,32 +518,28 @@ class _DeviceStream:
                 n2 = round2.sum()
                 carry5 = run_windows(round2, n2, carry5, record_mf=False)
                 found_l, sid_l, kid_l, ori_l, _ = carry5
-                return found_l, sid_l, kid_l, ori_l
 
-            found_l, sid_l, kid_l, ori_l = jax.lax.cond(
-                need.sum() > 0, phase3, lambda c: c,
-                (found_l, sid_l, kid_l, ori_l))
+                # per-lane counter derivation (see module docstring)
+                found = found_l & valid
+                pf = jnp.roll(found, 1).at[0].set(False)
+                ext = (found & pf & ~first
+                       & (sid_l == jnp.roll(sid_l, 1))
+                       & (ori_l == jnp.roll(ori_l, 1))
+                       & (kid_l == jnp.roll(kid_l, 1) + jnp.roll(ori_l, 1).astype(U32j)))
+                n_pos = found.sum().astype(U32j)
+                n_ext = ext.sum().astype(U32j)
+                n_inv = count.astype(U32j) - valid.sum().astype(U32j)
+                last = jnp.clip(count.astype(I32) - 1, 0, P_ - 1)
+                counters = jnp.stack([count.astype(U32j), n_pos, n_ext, n_inv])
+                lane0 = jnp.stack([found[0].astype(U32j), sid_l[0], kid_l[0],
+                                   ori_l[0].astype(U32j)])
+                lastv = jnp.stack([jnp.take(found, last).astype(U32j),
+                                   jnp.take(sid_l, last), jnp.take(kid_l, last),
+                                   jnp.take(ori_l, last).astype(U32j)])
+                return counters, lane0, lastv
 
-            # ---- derive the report counters (see module docstring)
-            found = found_l & valid
-            sid = sid_l
-            kid = kid_l
-            orient = ori_l
-            pf = jnp.roll(found, 1).at[0].set(False)
-            ext = (found & pf & ~first
-                   & (sid == jnp.roll(sid, 1))
-                   & (orient == jnp.roll(orient, 1))
-                   & (kid == jnp.roll(kid, 1) + jnp.roll(orient, 1).astype(U32j)))
-            n_pos = found.sum().astype(U32j)
-            n_ext = ext.sum().astype(U32j)
-            n_inv = (active & ~valid).sum().astype(U32j)
-            last = jnp.clip(count - 1, 0, P_ - 1)
-            counters = jnp.stack([count.astype(U32j), n_pos, n_ext, n_inv])
-            lane0 = jnp.stack([found[0].astype(U32j), sid[0], kid[0],
-                               orient[0].astype(U32j)])
-            lastv = jnp.stack([found[last].astype(U32j), sid[last], kid[last],
-                               orient[last].astype(U32j)])
-            return counters, lane0, lastv
+            return jax.lax.cond(miss.any(), derive_full, derive_fast,
+                                jnp.int32(0))
 
         self._step = cache[(self.P, self.R)] = jax.jit(step)
         self._jnp = jnp
@@ -514,6 +580,22 @@ class _DeviceStream:
         count = self._pending
         self._pending = 0
         self._chars = 0
+
+        # pick the smallest compiled shape that fits this batch (tail
+        # chunks would otherwise pay the full-width kernel; each shape
+        # compiles once and is cached on the engine)
+        P_eff = self.P
+        while P_eff // 4 >= count and P_eff // 4 >= 1 << 16 \
+                and len(seqs) <= (P_eff // 4) >> 4:
+            P_eff //= 4
+        if P_eff != self.P:
+            sub = _DeviceStream(self.engine, k, pmax=P_eff)
+            sub._seqs = [(s, f) for (s, f) in zip(seqs, starts_flag)]
+            sub._pending = count
+            sub._chars = sum(len(s) for s in seqs)
+            sub.flush()
+            self._inflight.extend(sub._inflight)
+            return
 
         lens = np.array([len(s) for s in seqs], dtype=np.int64)
         ends = np.cumsum(lens)
