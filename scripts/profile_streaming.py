@@ -59,46 +59,22 @@ def main():
                           "kmers_per_s": round(rep["num_kmers"] / total)}),
               flush=True)
 
-    # isolate: host-prep only (no device call)
-    ds = _DeviceStream(eng, 31)
-    step_orig = ds._step
-    ds._step = lambda *a: step_orig(*a)  # keep same; instead time sub-parts
-    import sshash_tpu.streaming as S
-
-    # manual: one full-size chunk prep
-    seqs = []
-    tot = 0
-    for r in reads:
-        seqs.append((bytes(r), True))
-        tot += len(r) - 30
-        if tot > ds.P // 2:
-            break
-    ds2 = _DeviceStream(eng, 31)
-    ds2._seqs = seqs
-    ds2._pending = sum(len(s) - 30 for s, _ in seqs)
-    ds2._chars = sum(len(s) for s, _ in seqs)
+    # host encode cost for one full chunk (properly sized buffers)
     import sshash_tpu.native as native
 
     k = 31
-    seqs_b = [s for s, _ in seqs]
-    lens = np.array([len(s) for s in seqs_b], dtype=np.int64)
-    ends = np.cumsum(lens)
-    cstarts = ends - lens
+    P = 1 << 22
+    seq = bytes(reads[0][: P + k - 1])
+    lens = np.array([len(seq)], dtype=np.int64)
+    cstarts = np.array([0], dtype=np.int64)
+    CW = (P + ((P >> 4) * (k - 1)) + 31) // 32 + 4
+    words32 = np.zeros(CW, dtype=np.uint32)
+    valid_bits = np.zeros(P // 32 + 1, dtype=np.uint32)
     t0 = time.perf_counter()
-    joined = b"".join(seqs_b)
-    words32 = np.zeros(ds2.CW, dtype=np.uint32)
-    valid_bits = np.zeros(ds2.P // 32 + 1, dtype=np.uint32)
-    t = native.encode_stream(joined, cstarts, lens, k, words32, valid_bits)
-    t_encode = time.perf_counter() - t0
-    print(json.dumps({"host_encode_sec_per_chunk": round(t_encode, 3),
+    t = native.encode_stream(seq, cstarts, lens, k, words32, valid_bits)
+    print(json.dumps({"host_encode_sec_per_chunk":
+                      round(time.perf_counter() - t0, 3),
                       "chunk_positions": int(t)}), flush=True)
-
-    t0 = time.perf_counter()
-    dev = jax.device_put(jnp.asarray(words32))
-    np.asarray(dev[:1])
-    t_upload = time.perf_counter() - t0
-    print(json.dumps({"upload_sec_per_chunk": round(t_upload, 3),
-                      "upload_bytes": int(words32.nbytes)}), flush=True)
 
 
 if __name__ == "__main__":

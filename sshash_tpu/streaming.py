@@ -421,7 +421,7 @@ class _DeviceStream:
                     fl.astype(U32j), jnp.take(asid, gl),
                     jnp.take(akid, gl) + jnp.take(sgn_a, gl) * tl,
                     jnp.take(aorient, gl).astype(U32j)])
-                return counters, lane0, lastv
+                return jnp.stack([counters, lane0, lastv])
 
             def derive_full(_):
                 """Some positions missed their chain: build per-lane arrays,
@@ -536,8 +536,10 @@ class _DeviceStream:
                 lastv = jnp.stack([jnp.take(found, last).astype(U32j),
                                    jnp.take(sid_l, last), jnp.take(kid_l, last),
                                    jnp.take(ori_l, last).astype(U32j)])
-                return counters, lane0, lastv
+                return jnp.stack([counters, lane0, lastv])
 
+            # one (3, 4) output array: the host folds a chunk with a SINGLE
+            # round trip (3 separate fetches cost ~40ms each on slow links)
             return jax.lax.cond(miss.any(), derive_full, derive_fast,
                                 jnp.int32(0))
 
@@ -647,7 +649,8 @@ class _DeviceStream:
         self._inflight.append((out, bool(starts_flag[0])))
 
     def _fold(self, out, chunk_starts_fresh):
-        counters, lane0, lastv = (np.asarray(x) for x in out)
+        out = np.asarray(out)  # (3, 4): ONE device round trip per chunk
+        counters, lane0, lastv = out[0], out[1], out[2]
         counters = counters.astype(np.int64)
         n_kmers, n_pos, n_ext, n_inv = counters
         # stitch adjacency across the previous chunk boundary (the first
