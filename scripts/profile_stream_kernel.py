@@ -36,18 +36,17 @@ def main():
     words32 = np.zeros(ds.CW, dtype=np.uint32)
     valid_bits = np.zeros(P_ // 32 + 1, dtype=np.uint32)
     native.encode_stream(seq, cstarts, lens, k, words32, valid_bits)
-    rstart = np.zeros(R_, dtype=np.uint32)
     rnpos = np.zeros(R_, dtype=np.uint32)
     rnpos[0] = P_
     rfirst = np.zeros(R_ // 32 + 1, dtype=np.uint32)
     rfirst[0] = 1
 
-    host_args = (words32, rstart, rnpos, rfirst, valid_bits)
+    host_args = (words32, rnpos, rfirst, valid_bits)
     dev_args = tuple(jax.device_put(jnp.asarray(a)) for a in host_args)
 
     def run(args):
         out = ds._step(eng.arrs, *args, jnp.uint32(P_), jnp.uint32(1))
-        return int(np.asarray(out[0])[1])  # n_pos scalar fetch
+        return int(np.asarray(out)[0][1])  # n_pos scalar fetch
 
     n_pos = run(dev_args)  # compile
     print(json.dumps({"compiled": True, "n_pos": n_pos}), flush=True)

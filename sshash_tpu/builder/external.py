@@ -27,8 +27,7 @@ from ..constants import MAX_L, MIN_L, SKEW_LAMBDA_BOOST, LAMBDA
 from ..compact import CompactVector
 from ..index import Index, SkewPartition
 from ..mphf import MPHFBuildError, PartitionedMPHF
-from .assemble import _histogram, _kmer_less, build_weights
-from .minimizers import MinimizerTuples
+from .assemble import _kmer_less, build_weights
 from .parse import SequenceReader
 
 U64 = np.uint64
@@ -111,7 +110,6 @@ class _SpillRouter:
 def build_external(input_path, config, stats, timed):
     """RAM-bounded counterpart of builder.build. Returns an Index whose
     arrays are bit-identical to the in-RAM path's (same avg_partition_size)."""
-    from ..constants import AVG_PARTITION_SIZE
     from .. import native
     from ..hashing import mixer_magic
 

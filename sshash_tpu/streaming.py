@@ -279,16 +279,7 @@ class _DeviceStream:
         A = P_ // S
         FWD = 1
 
-        def _char_at(words, idx):
-            """2-bit char at char-offset idx from packed u32 words."""
-            w = jnp.take(words, (idx >> 4).astype(I32), mode="clip")
-            return (w >> ((idx & U32j(15)) * U32j(2))) & U32j(3)
-
-        def _bit_at(bits, idx):
-            w = jnp.take(bits, (idx >> 5).astype(I32), mode="clip")
-            return ((w >> (idx & U32j(31))) & U32j(1)) != 0
-
-        def step(arrs, words32, rstart, rnpos, rfirst_bits, valid_bits, count, nreads):
+        def step(arrs, words32, rnpos, rfirst_bits, valid_bits, count, nreads):
             """Anchored seed-and-extend (the batched analog of the reference
             extension cache, streaming_query.hpp:86-100): full lookups only at
             every S-th position; the S-1 followers of a found anchor resolve
@@ -298,7 +289,6 @@ class _DeviceStream:
             from .ops import u64 as u
 
             lane = jnp.arange(P_, dtype=I32)
-            active = lane < count
             # lane -> segment mapping WITHOUT full-width scatters: segment
             # starts scatter into a P/32-bit mask (R-sized op), and the char
             # position is AFFINE in the segment index because segments are
@@ -632,16 +622,14 @@ class _DeviceStream:
                 vb, (0, (-len(vb)) % 4)).view(np.uint32)
 
         R = self.R
-        rstart = np.zeros(R, dtype=np.uint32)
         rnpos = np.zeros(R, dtype=np.uint32)
-        rstart[: len(lens)] = cstarts.astype(np.uint32)
         rnpos[: len(lens)] = npos.astype(np.uint32)
         fb = np.packbits(starts_flag, bitorder="little")
         rfirst = np.zeros(R // 32 + 1, dtype=np.uint32)
         rfirst[: (len(fb) + 3) // 4] = np.pad(fb, (0, (-len(fb)) % 4)).view(np.uint32)
 
         out = self._step(
-            self.engine.arrs, jnp.asarray(words32), jnp.asarray(rstart),
+            self.engine.arrs, jnp.asarray(words32),
             jnp.asarray(rnpos), jnp.asarray(rfirst), jnp.asarray(valid_bits),
             jnp.uint32(count), jnp.uint32(len(lens)))
         # defer the scalar fetch: dispatches stay queued on the device so
