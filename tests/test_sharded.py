@@ -146,3 +146,17 @@ def test_sharded_per_device_bytes_drop(dict_k31):
     e4 = ShardedEngine(dict_k31.index, _mesh(2, 4))
     b1, b4 = e1.per_device_bytes(), e4.per_device_bytes()
     assert b4 < 0.55 * b1, (b1, b4)
+
+
+def test_multihost_helpers_single_process():
+    """multihost helpers degrade gracefully single-process: no-op bootstrap,
+    global mesh over local devices, identity-ish local batch slicing."""
+    import numpy as np
+    from sshash_tpu.parallel import multihost
+
+    assert multihost.initialize() is False  # nothing to bootstrap here
+    mesh = multihost.global_mesh(bucket=2)
+    assert dict(mesh.shape) == {"data": 4, "bucket": 2}
+    batch = np.arange(100)
+    local = multihost.host_local_batch(batch, mesh)
+    np.testing.assert_array_equal(local, batch)  # single process owns all
