@@ -215,9 +215,14 @@ class Index:
                 f"rebuild, or set SSHASH_MIN_L={meta.get('min_l', 6)}")
         skew = []
         for i, sm in enumerate(meta["skew_mphfs"]):
+            # version-1.0.0 files stored the skew arrays as skew_pilots_{i}/
+            # skew_remap_{i}; they pass the major-version gate, so map the
+            # new-style names onto them (advisor r2)
+            zi = _KeyAlias(z, {f"skew_{i}_pilots": f"skew_pilots_{i}",
+                               f"skew_{i}_remap": f"skew_remap_{i}"})
             skew.append(
                 SkewPartition(
-                    mphf=_mphf_from(sm, z, f"skew_{i}"),
+                    mphf=_mphf_from(sm, zi, f"skew_{i}"),
                     positions=z[f"skew_positions_{i}"],
                 )
             )
@@ -249,6 +254,23 @@ class Index:
             weights=weights,
             stats=meta.get("stats", {}),
         )
+
+
+class _KeyAlias:
+    """Read-through adapter: try the primary array name, then its legacy
+    alias (npz raises KeyError, the mmap directory loader FileNotFoundError)."""
+
+    def __init__(self, z, aliases):
+        self._z, self._aliases = z, aliases
+
+    def __getitem__(self, name):
+        try:
+            return self._z[name]
+        except (KeyError, FileNotFoundError):
+            alias = self._aliases.get(name)
+            if alias is None:
+                raise
+            return self._z[alias]
 
 
 def _mphf_meta(f):

@@ -64,6 +64,30 @@ def _ranges(sizes):
     return out - np.repeat(starts, sizes)
 
 
+def _put_global(arr, sharding):
+    """device_put single-controller; multi-controller every process holds
+    the full host array, so assemble per-device shards via callback (plain
+    device_put cannot target non-addressable devices)."""
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
+def _local_rows(v):
+    """(lo, hi, values) — this process's contiguous row range of a global
+    jax.Array sharded on axis 0 (bucket-replicated copies deduped)."""
+    shards = {}
+    for s in v.addressable_shards:
+        sl = s.index[0] if s.index else slice(0, 1)
+        shards[sl.start or 0] = np.asarray(s.data)
+    starts = sorted(shards)
+    parts = [shards[s] for s in starts]
+    lo = starts[0]
+    return lo, lo + sum(len(p) for p in parts), np.concatenate(parts)
+
+
 def make_mesh(shape=None, axis_names=("data", "bucket"), devices=None):
     """Default 2D mesh over all local devices: bucket axis of 2 when
     possible, the rest data-parallel."""
@@ -266,17 +290,19 @@ class ShardedEngine:
                               else np.zeros((0, WR), glob_mid.dtype))
             cw_a[sl] = np.where(mid, local_begin.astype(cw_a.dtype), cw_a[sl])
         # shard the HEAVY rows the same way: bucket sizes are recovered from
-        # the global begin layout (begins are segment starts of heavy_rows)
+        # the global begin layout (begins are segment starts of heavy_rows).
+        # _expand_to_slots duplicates remapped codeword entries, so the same
+        # begin can appear at several slots — sizes must come from the UNIQUE
+        # sorted begins (a plain diff over sorted begins would hand one
+        # duplicate size 0 and silently drop a whole bucket; advisor r2).
         glob_heavy = host["heavy_rows"]
         heavy_any = (status == 2).any()
         if heavy_any:
             hv_all = np.flatnonzero(status == 2)
             hb = cw_a[hv_all].astype(np.int64)
-            horder = np.argsort(hb)
-            hb_sorted = hb[horder]
-            hsz_sorted = np.diff(np.concatenate([hb_sorted, [len(glob_heavy)]]))
-            hsize = np.zeros(len(hv_all), dtype=np.int64)
-            hsize[horder] = hsz_sorted
+            ub = np.unique(hb)
+            usz = np.diff(np.concatenate([ub, [len(glob_heavy)]]))
+            hsize = usz[np.searchsorted(ub, hb)]
             size_of_slot = np.zeros(len(status), dtype=np.int64)
             size_of_slot[hv_all] = hsize
         shard_heavies = []
@@ -306,7 +332,7 @@ class ShardedEngine:
         for key, arr in host.items():
             spec = P(bucket_axis) if key in sharded_keys else P()
             in_specs[key] = spec
-            self.arrs[key] = jax.device_put(arr, NamedSharding(self.mesh, spec))
+            self.arrs[key] = _put_global(arr, NamedSharding(self.mesh, spec))
 
         body = make_sharded_lookup(self.cfg, per_shard, data_axis, bucket_axis)
         res_spec = {k2: P(data_axis) for k2 in list(_empty_res(1)) + ["found"]}
@@ -355,6 +381,26 @@ class ShardedEngine:
     def lookup_device(self, kmers32):
         return self._lookup(self.arrs, kmers32)
 
+    def lookup_multiprocess(self, kmers64):
+        """Multi-controller lookup: every process passes the same GLOBAL
+        batch (length a multiple of the data-axis size); returns
+        (res, report, (lo, hi)) where res holds only THIS process's rows
+        [lo, hi) of the global result (non-addressable rows cannot be
+        fetched here)."""
+        kmers64 = np.atleast_2d(np.asarray(kmers64, dtype=np.uint64))
+        if len(kmers64) % self._batch_multiple:
+            raise ValueError("multiprocess batch length must be a multiple "
+                             f"of the data-axis size {self._batch_multiple}")
+        kmers32 = K.kmers_to_u32(kmers64, self.cfg.k)
+        dev = _put_global(kmers32, self._kmer_sharding)
+        res, report = self.lookup_device(dev)
+        report = jax.tree.map(int, report)  # out_specs P() => replicated
+        out = {}
+        lo = hi = 0
+        for key, v in res.items():
+            lo, hi, out[key] = _local_rows(v)
+        return _to_host_result(out), report, (lo, hi)
+
     def lookup(self, kmers64):
         """NumPy convenience wrapper; pads the batch to the data-axis size."""
         kmers64 = np.atleast_2d(np.asarray(kmers64, dtype=np.uint64))
@@ -384,8 +430,8 @@ class ShardedEngine:
         the previous shard's last-lane state)."""
         kmers64 = np.atleast_2d(np.asarray(kmers64, dtype=np.uint64))
         kmers32 = K.kmers_to_u32(kmers64, self.cfg.k)
-        dev = jax.device_put(jnp.asarray(kmers32), self._kmer_sharding)
-        v = jax.device_put(jnp.asarray(valid, dtype=bool), self._flag_sharding)
-        f = jax.device_put(jnp.asarray(first, dtype=bool), self._flag_sharding)
+        dev = _put_global(kmers32, self._kmer_sharding)
+        v = _put_global(np.asarray(valid, dtype=bool), self._flag_sharding)
+        f = _put_global(np.asarray(first, dtype=bool), self._flag_sharding)
         rep = self._stream(self.arrs, dev, v, f)
         return jax.tree.map(int, rep)

@@ -251,7 +251,13 @@ class _DeviceStream:
         self.k = k
         self.P = pmax
         self.R = pmax >> rmax_shift  # max reads (segments) per chunk
-        self.CW = (pmax + (self.R * (k - 1)) + 31) // 32 + 4  # u32 words of chars
+        # char-buffer budget in u32 words (16 chars each). Deliberately ~half
+        # the absolute worst case (P + R*(k-1) chars) to keep uploads small —
+        # in practice reads are long so few segments pay the k-1 overlap; the
+        # budget is ENFORCED by add_read's segment cap and _add_segment's
+        # flush check (advisor r2: an unconditional P-position split
+        # overflowed this buffer for k <= 16, corrupting the native encoder).
+        self.CW = self._cw_words(pmax, self.R, k)
         self._seqs = []  # (bytes, is_read_start)
         self._pending = 0
         self._chars = 0
@@ -536,14 +542,20 @@ class _DeviceStream:
         self._step = cache[(self.P, self.R)] = jax.jit(step)
         self._jnp = jnp
 
+    @staticmethod
+    def _cw_words(pmax, rmax, k):
+        return (pmax + rmax * (k - 1) + 31) // 32 + 4
+
     def add_read(self, seq):
         k = self.k
         n = len(seq)
         if n < k:
             return
-        # split long reads into <=P-position segments with k-1 char overlap
-        # (the reference's multiline buffer carry, src/query.cpp:28-37)
-        seg = self.P
+        # split long reads into segments with k-1 char overlap (the
+        # reference's multiline buffer carry, src/query.cpp:28-37); a segment
+        # must fit BOTH the position budget P and the char budget CW*16
+        # (which is below P + k - 1 for small k — see __init__)
+        seg = min(self.P, self.CW * 16 - (k - 1))
         for off in range(0, n - k + 1, seg):
             chunk = seq[off : off + seg + k - 1]
             self._add_segment(bytes(chunk), off == 0)
@@ -577,8 +589,11 @@ class _DeviceStream:
         # chunks would otherwise pay the full-width kernel; each shape
         # compiles once and is cached on the engine)
         P_eff = self.P
+        chars_total = sum(len(s) for s in seqs)
         while P_eff // 4 >= count and P_eff // 4 >= 1 << 16 \
-                and len(seqs) <= (P_eff // 4) >> 4:
+                and len(seqs) <= (P_eff // 4) >> 4 \
+                and chars_total <= self._cw_words(P_eff // 4, (P_eff // 4) >> 4,
+                                                 k) * 16:
             P_eff //= 4
         if P_eff != self.P:
             sub = _DeviceStream(self.engine, k, pmax=P_eff)
@@ -599,6 +614,9 @@ class _DeviceStream:
         words32 = np.zeros(self.CW, dtype=np.uint32)
         valid_bits = np.zeros(self.P // 32 + 1, dtype=np.uint32)
         joined = b"".join(seqs)
+        # the native encoder writes len(joined) chars into words32 with no
+        # bounds checks; the budget must hold by construction
+        assert len(joined) <= self.CW * 16, (len(joined), self.CW)
         if native.available():
             # single-pass C++ encode: pack + per-position validity in one
             # sweep (the multi-pass NumPy path below dominated warm

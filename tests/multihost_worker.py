@@ -1,0 +1,105 @@
+"""One JAX process of a multi-process CPU fleet (spawned by
+test_multihost.py): bootstraps jax.distributed with gloo collectives,
+builds a ShardedEngine over the GLOBAL mesh, and asserts sharded-lookup /
+streaming parity for this process's rows. argv:
+  <process_id> <num_processes> <coordinator_port> <index_path>
+"""
+
+import os
+import sys
+
+
+def main():
+    pid = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    port = sys.argv[3]
+    idx_path = sys.argv[4]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+    from sshash_tpu.parallel import multihost
+
+    assert multihost.initialize(f"localhost:{port}", nproc, pid) is True
+    assert jax.process_count() == nproc
+    assert jax.device_count() == 4 * nproc
+    assert len(jax.local_devices()) == 4
+
+    import numpy as np
+
+    from sshash_tpu import kmer as K
+    from sshash_tpu import oracle
+    from sshash_tpu.index import Index
+    from sshash_tpu.parallel import ShardedEngine
+    from sshash_tpu.parallel.sharded import _local_rows
+    from sshash_tpu.streaming import derive_report
+
+    INVALID = np.uint64(0xFFFFFFFFFFFFFFFF)
+    index = Index.load(idx_path)
+    mesh = multihost.global_mesh(bucket=2)  # data axis spans both processes
+    assert dict(mesh.shape) == {"data": 2 * nproc, "bucket": 2}
+    eng = ShardedEngine(index, mesh)
+
+    # same rng on every process => identical global batch everywhere
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, index.num_kmers, 512)
+    kmers = oracle.access(index, ids)
+    kmers[:256] = K.revcomp_kmers(kmers[:256], index.k)
+    neg = rng.integers(0, 1 << 62, (256, index.kmer_words64), dtype=np.uint64)
+    neg &= np.uint64((1 << min(2 * index.k, 63)) - 1)
+    batch = np.concatenate([kmers, neg])
+
+    res, report, (lo, hi) = eng.lookup_multiprocess(batch)
+    assert hi - lo == len(batch) // nproc  # each host owns half the rows
+    want = oracle.lookup(index, batch)
+    for key in ("kmer_id", "kmer_offset", "string_id", "kmer_id_in_string",
+                "kmer_orientation"):
+        np.testing.assert_array_equal(res[key], want[key][lo:hi], err_msg=key)
+    assert report["num_kmers"] == len(batch)
+    assert report["num_positive"] == int((want["kmer_id"] != INVALID).sum())
+
+    # host-local feeding round-trips: slice locally, assemble globally,
+    # results must match the full-batch path
+    local = multihost.host_local_batch(batch, mesh)
+    np.testing.assert_array_equal(local, batch[lo:hi])
+    k32 = K.kmers_to_u32(batch, index.k)
+    garr = multihost.make_global_batch(K.kmers_to_u32(local, index.k), mesh,
+                                       k32.shape)
+    res2, _ = eng.lookup_device(garr)
+    lo2, hi2, kid2 = _local_rows(res2["kmer_id"])
+    assert (lo2, hi2) == (lo, hi)
+    found2 = _local_rows(res2["found"])[2]
+    kid2 = kid2.astype(np.uint64)
+    kid2[~found2] = INVALID
+    np.testing.assert_array_equal(kid2, res["kmer_id"])
+
+    # streaming counters psum over the global mesh (reads straddle the
+    # process boundary: the ppermute stitch crosses DCN)
+    n_shards = mesh.shape["data"]
+    per_shard, read_len = 128, 96
+    B = n_shards * per_shard
+    sids, first = [], np.zeros(B, dtype=bool)
+    pos = 0
+    while pos < B:
+        L = min(read_len, B - pos)
+        start = int(rng.integers(0, index.num_kmers - L))
+        sids.extend(range(start, start + L))
+        first[pos] = True
+        pos += L
+    skm = oracle.access(index, np.asarray(sids))
+    valid = np.ones(B, dtype=bool)
+    rep = eng.stream_report(skm, valid, first)
+    sres = oracle.lookup(index, skm)
+    swant = derive_report(sres["kmer_id"] != INVALID, sres["string_id"],
+                          sres["kmer_id"], sres["kmer_orientation"], valid,
+                          first)
+    assert {k2: rep[k2] for k2 in swant} == swant, (rep, swant)
+
+    print(f"MULTIHOST_OK {pid}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
