@@ -1,12 +1,12 @@
 """Headline benchmark: batched positive-lookup throughput on one chip.
 
 Builds indexes from the reference's bundled salmonella k31 unitigs, then
-times (a) the jitted batched lookup on 4M random queries with 50% of them
-reverse-complemented, in BOTH index modes (regular + canonical — the
-reference's perf recipe, tools/perf.hpp:9-157, measures regular; canonical
-is the reference's own recommendation for mixed-strand workloads), and
-(b) warm device streaming of the salmonella genome against its own index
-(reference src/query.cpp high-hit workload).
+times every perf axis of the reference's recipe (tools/perf.hpp:9-157):
+(a) positive lookup on random queries with 50% reverse-complemented, in
+BOTH index modes (regular + canonical), (b) negative lookup on random
+kmers, (c) access, (d) the full-iteration analog, (e) warm device
+streaming of the salmonella genome against its own index (high-hit,
+reference src/query.cpp) and of the bundled SRR fastq reads (low-hit).
 
 Baseline: the reference's best single-thread positive-lookup figure,
 523 ns/kmer on ncbi-virus k31 (benchmarks/results-21-01-26) = 1.912M
@@ -24,22 +24,28 @@ BASELINE_LOOKUPS_PER_S = 1e9 / 523.0  # reference fastest positive-lookup row
 BASELINE_STREAMING_KMERS_PER_S = 11.2e6  # reference high-hit human k31
 INPUT = "/root/reference/data/unitigs_stitched/salmonella_enterica_k31_ust.fa.gz"
 GENOME = "/root/reference/data/queries/salmonella_enterica.fasta.gz"
+READS = "/root/reference/data/queries/SRR5833294.10K.fastq.gz"
+
+
+def _time_reduced(fn, *args, reps=5):
+    """Best-of-reps wall time; every rep fetches a scalar (block_until_ready
+    does not truly block over the axon tunnel)."""
+    np.asarray(fn(*args))  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def _bench_lookup(eng, kmers32, B):
     import jax
 
-    # timing note: block_until_ready does not truly block over the axon
-    # tunnel, so every timed iteration fetches a scalar reduction to force
-    # execution end-to-end.
-    reduced = jax.jit(lambda a, x: eng._lookup_fn(a, x)["kmer_id"].sum())
-    np.asarray(reduced(eng.arrs, kmers32))  # compile + warm
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        np.asarray(reduced(eng.arrs, kmers32))
-        best = min(best, time.perf_counter() - t0)
-    return B / best
+    # the id-only kernel — what the reference's perf recipe measures
+    # (lookup(kmer) -> id, tools/perf.hpp:29-47)
+    reduced = jax.jit(lambda a, x: eng._lookup_ids_fn(a, x)["kmer_id"].sum())
+    return B / _time_reduced(reduced, eng.arrs, kmers32)
 
 
 def main():
@@ -55,8 +61,11 @@ def main():
     B = 1 << 22
     rates = {}
     engines = {}
+    # m=17 over m=15: +0.4 ref-format bits/kmer buys ~17% fewer candidate
+    # probes (more singleton buckets) — the speed-optimal sweep point on
+    # this dataset (scripts/exp_r3_lookup*.py)
     for mode in ("regular", "canonical"):
-        d = Dictionary.build(INPUT, BuildConfig(k=31, m=15, verbose=False,
+        d = Dictionary.build(INPUT, BuildConfig(k=31, m=17, verbose=False,
                                                 canonical=(mode == "canonical")))
         index = d.index
         eng = d.to_device()
@@ -70,6 +79,36 @@ def main():
         n_found = int(np.asarray(res["found"]).sum())
         assert n_found == B, f"{mode}: expected all positive, found {n_found}/{B}"
         rates[mode] = _bench_lookup(eng, kmers32, B)
+
+        if mode == "regular":
+            # negative lookup (perf.hpp:60-76): random kmers, same compiled
+            # kernel (the mostly-miss branch), fresh timing
+            neg64 = rng.integers(0, 1 << 62, (B, index.kmer_words64),
+                                 dtype=np.uint64)
+            neg64 &= np.uint64((1 << min(2 * index.k, 63)) - 1)
+            neg32 = jax.device_put(jnp.asarray(K.kmers_to_u32(neg64, index.k)))
+            negative_rate = _bench_lookup(eng, neg32, B)
+            del neg32
+            # access (perf.hpp:78-96): random ids -> packed kmers
+            ids32 = jax.device_put(jnp.asarray(
+                rng.integers(0, index.num_kmers, B).astype(np.uint32)))
+            acc = jax.jit(lambda a, i: eng._access(a, i)[:, 0].sum())
+            access_rate = B / _time_reduced(acc, eng.arrs, ids32)
+            # full-iteration analog (perf.hpp:129-152): decode every kmer in
+            # id order — sequential offsets, one ordered sweep of the strings
+            sid = np.searchsorted(
+                index.string_endpoints.astype(np.int64)
+                - np.arange(len(index.string_endpoints)) * (index.k - 1),
+                np.arange(index.num_kmers), side="right") - 1
+            offs = (np.arange(index.num_kmers)
+                    + sid.astype(np.int64) * (index.k - 1)).astype(np.uint32)
+            offs_d = jax.device_put(jnp.asarray(offs))
+            from sshash_tpu.ops import packed as Pk
+
+            it = jax.jit(lambda a, o: Pk.read_kmers_at(
+                a["strings32"], o, index.k)[:, 0].sum())
+            iterator_rate = index.num_kmers / _time_reduced(it, eng.arrs, offs_d)
+            del ids32, offs_d
         del kmers32
 
     # warm device streaming: run once to compile, then time a second pass.
@@ -84,6 +123,13 @@ def main():
                                     chunk=CH)
     stream_rate = rep["num_kmers"] / (rep["elapsed_millisec"] / 1e3)
 
+    # low-hit streaming: the bundled SRR reads vs salmonella (the README
+    # workload: ~46 positives in 460K kmers) — exercises the negative-run
+    # skip machinery end-to-end
+    low = streaming_query_from_file(d, READS, use_device=True)
+    low = streaming_query_from_file(d, READS, use_device=True)
+    low_rate = low["num_kmers"] / (low["elapsed_millisec"] / 1e3)
+
     best_mode = max(rates, key=rates.get)
     value = rates[best_mode]
     print(json.dumps({
@@ -94,9 +140,13 @@ def main():
         "mode": best_mode,
         "regular_lookups_per_s": round(rates["regular"]),
         "canonical_lookups_per_s": round(rates["canonical"]),
+        "negative_lookups_per_s": round(negative_rate),
+        "access_per_s": round(access_rate),
+        "iterator_kmers_per_s": round(iterator_rate),
         "streaming_kmers_per_s": round(stream_rate),
         "streaming_vs_ref_high_hit": round(
             stream_rate / BASELINE_STREAMING_KMERS_PER_S, 2),
+        "streaming_low_hit_kmers_per_s": round(low_rate),
     }))
 
 

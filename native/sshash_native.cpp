@@ -13,6 +13,7 @@
 #include <cstring>
 #include <vector>
 #include <algorithm>
+#include <thread>
 
 static inline uint32_t fmix32(uint32_t x) {
     x ^= x >> 16;
@@ -276,6 +277,51 @@ int64_t encode_stream(const uint8_t* seq,
         }
     }
     return t;
+}
+
+// Thread-parallel STABLE sort of minimizer tuples by (minimizer, pos):
+// fills idx with the sorting permutation, ties broken by original index —
+// bit-identical to np.lexsort((pos, minimizer)). Chunked std::sort +
+// pairwise inplace_merge rounds, the reference's parallel_sort shape
+// (reference include/builder/parallel_sort.hpp:57-125).
+int64_t sort_tuples(const uint64_t* mn, const uint64_t* pos, int64_t* idx,
+                    int64_t n, int64_t nthreads)
+{
+    for (int64_t i = 0; i < n; ++i) idx[i] = i;
+    auto cmp = [mn, pos](int64_t a, int64_t b) {
+        if (mn[a] != mn[b]) return mn[a] < mn[b];
+        if (pos[a] != pos[b]) return pos[a] < pos[b];
+        return a < b;
+    };
+    int64_t nt = nthreads < 1 ? 1 : nthreads;
+    if (nt == 1 || n < (1 << 16)) {
+        std::sort(idx, idx + n, cmp);
+        return 0;
+    }
+    int64_t chunks = 1;
+    while (chunks < nt) chunks <<= 1;
+    std::vector<int64_t> bounds(chunks + 1);
+    for (int64_t c = 0; c <= chunks; ++c) bounds[c] = n * c / chunks;
+    {
+        std::vector<std::thread> ts;
+        for (int64_t c = 0; c < chunks; ++c)
+            ts.emplace_back([&, c] {
+                std::sort(idx + bounds[c], idx + bounds[c + 1], cmp);
+            });
+        for (auto& t : ts) t.join();
+    }
+    for (int64_t span = 1; span < chunks; span <<= 1) {
+        std::vector<std::thread> ts;
+        for (int64_t c = 0; c + span < chunks; c += 2 * span) {
+            const int64_t hi = std::min(c + 2 * span, chunks);
+            ts.emplace_back([&, c, hi] {
+                std::inplace_merge(idx + bounds[c], idx + bounds[c + span],
+                                   idx + bounds[hi], cmp);
+            });
+        }
+        for (auto& t : ts) t.join();
+    }
+    return 0;
 }
 
 }  // extern "C"

@@ -1,0 +1,57 @@
+"""Post-resolve-fold lookup timing on the real TPU: m15/m17 canonical at
+B=4M/8M (json lines)."""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+INPUT = "/root/reference/data/unitigs_stitched/salmonella_enterica_k31_ust.fa.gz"
+
+
+def timeit(fn, *args, reps=4):
+    float(np.asarray(fn(*args)).ravel()[0])
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        float(np.asarray(out).ravel()[0])
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sshash_tpu import BuildConfig, Dictionary
+    from sshash_tpu import kmer as K
+    from sshash_tpu.oracle import access
+
+    rng = np.random.default_rng(0xBE7C)
+    for m in (15, 17):
+        for canonical in (True, False):
+            d = Dictionary.build(INPUT, BuildConfig(k=31, m=m, canonical=canonical,
+                                                    verbose=False))
+            index = d.index
+            eng = d.to_device()
+            fn = jax.jit(lambda a, x: eng._lookup_fn(a, x)["kmer_id"].sum())
+            for B in ((1 << 22, 1 << 23) if canonical else (1 << 22,)):
+                ids = rng.integers(0, index.num_kmers, B)
+                kmers64 = access(index, ids)
+                kmers64[: B // 2] = K.revcomp_kmers(kmers64[: B // 2], index.k)
+                k32 = jax.device_put(jnp.asarray(K.kmers_to_u32(kmers64, index.k)))
+                t = timeit(fn, eng.arrs, k32)
+                print(json.dumps({
+                    "exp": f"{'canon' if canonical else 'reg'}_m{m}_B{B >> 20}M",
+                    "ns_per_kmer": round(t / B * 1e9, 1),
+                    "Mlookups_per_s": round(B / t / 1e6, 2)}), flush=True)
+                del k32
+            del eng
+
+
+if __name__ == "__main__":
+    main()

@@ -118,9 +118,39 @@ def main():
         print(json.dumps({"stage": name, "ns_per_kmer": round(t / B * 1e9, 1),
                           "sec": round(t, 4)}), flush=True)
 
-    # canonical engine
+    # canonical engine, stage by stage
     dc = Dictionary.build(INPUT, BuildConfig(k=31, m=15, canonical=True, verbose=False))
     engc = dc.to_device()
+    cfgc = engc.cfg
+
+    @jax.jit
+    def c0_two_strand(a, x):
+        rc = P.revcomp_kmers(x, cfgc.k)
+        mv_f, mp_f, mv_r, mp_r = P.compute_minimizer_two_strand(
+            x, rc, cfgc.k, cfgc.m, magic)
+        return mv_f.lo.sum() + mv_r.lo.sum() + mp_f.sum() + mp_r.sum()
+
+    @jax.jit
+    def c1_pick(a, x):
+        rc = P.revcomp_kmers(x, cfgc.k)
+        mv_f, mp_f, mv_r, mp_r = P.compute_minimizer_two_strand(
+            x, rc, cfgc.k, cfgc.m, magic)
+        rc_first = u.less(mv_r, mv_f)
+        mv1 = u.select(rc_first, mv_r, mv_f)
+        slot = mphf_eval_minimizer(cfgc, a, mv1)
+        return slot.sum()
+
+    @jax.jit
+    def c2_probe(a, x):
+        rc = P.revcomp_kmers(x, cfgc.k)
+        mv_f, mp_f, mv_r, mp_r = P.compute_minimizer_two_strand(
+            x, rc, cfgc.k, cfgc.m, magic)
+        rc_first = u.less(mv_r, mv_f)
+        mv1 = u.select(rc_first, mv_r, mv_f)
+        mp1 = jnp.where(rc_first, mp_r, mp_f)
+        res = lookup_with_info(cfgc, a, x, rc, mv1, mp1,
+                               jnp.ones((x.shape[0],), dtype=bool))
+        return res["kmer_id"].sum() + res["found"].sum()
 
     @jax.jit
     def full_lookup_canon(a, x):
@@ -130,9 +160,13 @@ def main():
     kc = access(dc.index, ids_c)
     kc[:half] = K.revcomp_kmers(kc[:half], 31)
     kc32 = jax.device_put(jnp.asarray(K.kmers_to_u32(kc, 31)))
-    t = timeit(full_lookup_canon, engc.arrs, kc32)
-    print(json.dumps({"stage": "full_lookup_canonical_50rc",
-                      "ns_per_kmer": round(t / B * 1e9, 1)}), flush=True)
+    for name, fn in (("c0_two_strand_minimizer", c0_two_strand),
+                     ("c1_pick_mphf", c1_pick),
+                     ("c2_full_probe", c2_probe),
+                     ("full_lookup_canonical_50rc", full_lookup_canon)):
+        t = timeit(fn, engc.arrs, kc32)
+        print(json.dumps({"stage": name,
+                          "ns_per_kmer": round(t / B * 1e9, 1)}), flush=True)
 
     # batch-size scaling of the full kernel
     for BB in (1 << 23,):

@@ -29,13 +29,14 @@ U32 = np.uint32
 
 
 def assemble(parsed, tuples, words64, k, m, seed, canonical, verbose=False,
-             on_step=None, avg_partition_size=None):
+             on_step=None, avg_partition_size=None, threads=1, lmbda=None):
     """tuples: MinimizerTuples sorted by (minimizer_value, pos_in_seq)."""
     from ..constants import AVG_PARTITION_SIZE
     from ..mphf import PartitionedMPHF
 
     min_size = 1 << MIN_L
     avg_part = avg_partition_size or AVG_PARTITION_SIZE
+    lmb = lmbda if lmbda is not None else LAMBDA
 
     def step(name):
         if on_step:
@@ -47,10 +48,11 @@ def assemble(parsed, tuples, words64, k, m, seed, canonical, verbose=False,
     distinct_vals = np.unique(tuples.minimizer)  # sorted unique
     num_minimizers = len(distinct_vals)
     if num_minimizers > avg_part:
-        f = PartitionedMPHF.build_u64(distinct_vals, seed=seed,
-                                      avg_partition_size=avg_part)
+        f = PartitionedMPHF.build_u64(distinct_vals, seed=seed, lmbda=lmb,
+                                      avg_partition_size=avg_part,
+                                      threads=threads)
     else:
-        f = MPHF.build_u64(distinct_vals, seed=seed)
+        f = MPHF.build_u64(distinct_vals, seed=seed, lmbda=lmb)
     step("build mphf")
 
     # ---- step 5+6: re-key tuples by MPHF id and re-sort
@@ -170,6 +172,10 @@ def assemble(parsed, tuples, words64, k, m, seed, canonical, verbose=False,
         pid_of_bucket = np.zeros(num_minimizers, dtype=np.int64)
         pid_of_bucket[heavy_ids] = pid
         kpid = np.repeat(pid_of_bucket[bid[ht]], counts)
+        # global heavy_load_buckets index per kmer (= bucket begin + pos)
+        hb_begin_global = np.zeros(num_minimizers, dtype=np.int64)
+        hb_begin_global[heavy_ids] = hb_start
+        kbeg = np.repeat(hb_begin_global[bid[ht]], counts)
 
         kmers = K.read_kmers_at(words64, koffs, k)
         if canonical:
@@ -186,14 +192,25 @@ def assemble(parsed, tuples, words64, k, m, seed, canonical, verbose=False,
                     SkewPartition(
                         mphf=MPHF(0, 0, 1, seed, np.zeros(1, dtype=U32), np.zeros(0, dtype=U32)),
                         positions=np.zeros(0, dtype=U32),
+                        hindex=np.zeros(0, dtype=U32),
                     )
                 )
                 continue
             pk = kwords32[sel]
-            fp = MPHF.build_words(pk, seed=seed + 1000 + p, lmbda=LAMBDA + SKEW_LAMBDA_BOOST)
+            # PartitionedMPHF for every size class (P=1 when small): uniform
+            # partitioned eval on device, and human-scale heavy classes
+            # build partition-at-a-time like the reference's PTHash
+            fp = PartitionedMPHF.build_words(pk, seed=seed + 1000 + p,
+                                             lmbda=lmb + SKEW_LAMBDA_BOOST,
+                                             avg_partition_size=avg_part,
+                                             threads=threads)
+            slots = fp.eval_words(pk)
             positions = np.zeros(n_p, dtype=U32)
-            positions[fp.eval_words(pk)] = kpib[sel]
-            skew_partitions.append(SkewPartition(mphf=fp, positions=positions))
+            positions[slots] = kpib[sel]
+            hindex = np.zeros(n_p, dtype=U32)
+            hindex[slots] = (kbeg[sel] + kpib[sel]).astype(U32)
+            skew_partitions.append(SkewPartition(mphf=fp, positions=positions,
+                                                 hindex=hindex))
     step("build skew index")
 
     # ---- stats for reference-format space accounting

@@ -32,6 +32,13 @@ class BuildConfig:
     canonical: bool = False
     weighted: bool = False
     verbose: bool = True
+    # worker threads for the builder hot loops (tuple scan chunks, the
+    # parallel tuple sort, MPHF partition pilot searches) — the reference's
+    # -t flag (tools/build.cpp:24). Results are bit-identical at any count.
+    threads: int = 1
+    # PTHash-style pilot-search lambda (avg bucket load) — the reference's
+    # -a flag (tools/build.cpp:30); None = constants.LAMBDA
+    lmbda: float = None
     # minimizer key sets beyond this build a partitioned MPHF (reference
     # avg_partition_size, constants.hpp:11); None = constants default
     avg_partition_size: int = None
@@ -49,6 +56,8 @@ class BuildConfig:
             raise ValueError("m must be <= 31 (minimizer values are uint64)")
         if self.k - self.m + 1 > 255:
             raise ValueError("k - m + 1 must fit in 8 bits")
+        if self.threads < 1:
+            raise ValueError("threads must be >= 1")
 
 
 def build(input_path, config: BuildConfig):
@@ -117,7 +126,8 @@ def build(input_path, config: BuildConfig):
         "steps 4-7 (mphf + sparse and skew index)",
         lambda: assemble(parsed, tuples, words64, k, m, config.seed, config.canonical,
                          verbose=config.verbose, on_step=steps_seen.append,
-                         avg_partition_size=config.avg_partition_size),
+                         avg_partition_size=config.avg_partition_size,
+                         threads=config.threads, lmbda=config.lmbda),
     )
 
     stats["total_build_time_sec"] = time.perf_counter() - t_total
@@ -136,15 +146,29 @@ def _stream_parse_pack_scan(input_path, k, m, magic, config, chunk_chars=1 << 26
     """Single pass over the input in ~chunk_chars blocks of whole sequences:
     pack 2-bit strings incrementally and run the native tuple scanner per
     block (sequence-relative, rebased to absolute afterwards). Peak RAM is
-    packed strings + tuples, independent of input size."""
+    packed strings + tuples, independent of input size.
+
+    With config.threads > 1, chunk scans run on a thread pool (the ctypes
+    scanner releases the GIL — the reference's thread-parallel minimizer
+    scan, src/builder/compute_minimizer_tuples.cpp:19-117) and the final
+    sort is the native chunked parallel sort (parallel_sort.hpp analog).
+    Output is bit-identical at any thread count: chunks are keyed by their
+    base offset and folded in order."""
     from .. import native
     from .minimizers import MinimizerTuples
     from .parse import SequenceReader
 
+    threads = getattr(config, "threads", 1)
+    pool = None
+    if threads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=threads)
+
     reader = SequenceReader(input_path, k, config.weighted)
     words_parts = []
     carry = np.zeros(0, dtype=np.uint8)
-    t_min, t_pos, t_pik, t_cnt = [], [], [], []
+    results = []  # (future-or-tuple, base) in submission order
 
     buf, buf_lens, buf_chars, base = [], [], 0, 0
 
@@ -155,11 +179,12 @@ def _stream_parse_pack_scan(input_path, k, m, magic, config, chunk_chars=1 << 26
         codes = np.concatenate(buf)
         ep = np.zeros(len(buf_lens) + 1, dtype=np.int64)
         np.cumsum(buf_lens, out=ep[1:])
-        mn, ps, pik, cnt = native.tuple_scan(codes, ep, k, m, magic, config.canonical)
-        t_min.append(mn)
-        t_pos.append(ps + np.uint64(base))
-        t_pik.append(pik)
-        t_cnt.append(cnt)
+        if pool is not None:
+            results.append((pool.submit(native.tuple_scan, codes, ep, k, m,
+                                        magic, config.canonical), base))
+        else:
+            results.append((native.tuple_scan(codes, ep, k, m, magic,
+                                              config.canonical), base))
         # incremental 2-bit packing (32-char word alignment via carry)
         allc = np.concatenate([carry, codes]) if len(carry) else codes
         n32 = (len(allc) // 32) * 32
@@ -180,12 +205,27 @@ def _stream_parse_pack_scan(input_path, k, m, magic, config, chunk_chars=1 << 26
     words_parts.append(K.pack_codes(carry, pad_words=K.num_words64(k) + 1))
     words64 = np.concatenate(words_parts)
 
+    t_min, t_pos, t_pik, t_cnt = [], [], [], []
+    for res, b in results:
+        mn, ps, pik, cnt = res.result() if pool is not None else res
+        t_min.append(mn)
+        t_pos.append(ps + np.uint64(b))
+        t_pik.append(pik)
+        t_cnt.append(cnt)
+    if pool is not None:
+        pool.shutdown()
+
     parsed = reader.finish(codes=None)
     minimizer = np.concatenate(t_min) if t_min else np.zeros(0, np.uint64)
     pos_in_seq = np.concatenate(t_pos) if t_pos else np.zeros(0, np.uint64)
     pos_in_kmer = np.concatenate(t_pik) if t_pik else np.zeros(0, np.uint8)
     count = np.concatenate(t_cnt) if t_cnt else np.zeros(0, np.uint8)
-    order = np.lexsort((pos_in_seq, minimizer))
+    from .. import native as _nat
+
+    if threads > 1 and _nat.available():
+        order = _nat.sort_tuples(minimizer, pos_in_seq, threads)
+    else:
+        order = np.lexsort((pos_in_seq, minimizer))
     tuples = MinimizerTuples(minimizer=minimizer[order], pos_in_seq=pos_in_seq[order],
                              pos_in_kmer=pos_in_kmer[order], count=count[order])
     return parsed, words64, tuples

@@ -208,7 +208,8 @@ def _assemble_ranged(parsed, router, words64, k, m, seed0, seed, config, stats):
     c = R // P
     part_n = range_n.reshape(P, c).sum(axis=1)
     nmax = int(part_n.max())
-    pb = PartitionedMPHF.incremental(n, seed, P, nmax)
+    lmb = config.lmbda if getattr(config, "lmbda", None) is not None else LAMBDA
+    pb = PartitionedMPHF.incremental(n, seed, P, nmax, lmbda=lmb)
 
     # ---- phase C: per-partition sort + MPHF + bucket layout
     codewords = np.zeros(n, dtype=U64)
@@ -361,7 +362,9 @@ def _assemble_ranged(parsed, router, words64, k, m, seed0, seed, config, stats):
 
         koffs = np.concatenate([heavy["koffs"][i] for i in horder])
         kpib = np.concatenate([heavy["kpib"][i] for i in horder])
-        kpid = np.repeat(pid, [len(heavy["koffs"][i]) for i in horder])
+        kcounts = [len(heavy["koffs"][i]) for i in horder]
+        kpid = np.repeat(pid, kcounts)
+        kbeg = np.repeat(hb_start, kcounts)  # global bucket begin per kmer
         kmers = K.read_kmers_at(words64, koffs, k)
         if config.canonical:
             rc = K.revcomp_kmers(kmers, k)
@@ -377,14 +380,20 @@ def _assemble_ranged(parsed, router, words64, k, m, seed0, seed, config, stats):
                 skew_partitions.append(SkewPartition(
                     mphf=MPHF(0, 0, 1, seed0, np.zeros(1, dtype=U32),
                               np.zeros(0, dtype=U32)),
-                    positions=np.zeros(0, dtype=U32)))
+                    positions=np.zeros(0, dtype=U32),
+                    hindex=np.zeros(0, dtype=U32)))
                 continue
             pk = kwords32[sel]
-            fp = MPHF.build_words(pk, seed=seed0 + 1000 + sp,
-                                  lmbda=LAMBDA + SKEW_LAMBDA_BOOST)
+            fp = PartitionedMPHF.build_words(pk, seed=seed0 + 1000 + sp,
+                                             lmbda=lmb + SKEW_LAMBDA_BOOST,
+                                             avg_partition_size=avg)
+            slots = fp.eval_words(pk)
             positions = np.zeros(n_sp, dtype=U32)
-            positions[fp.eval_words(pk)] = kpib[sel]
-            skew_partitions.append(SkewPartition(mphf=fp, positions=positions))
+            positions[slots] = kpib[sel]
+            hindex = np.zeros(n_sp, dtype=U32)
+            hindex[slots] = (kbeg[sel] + kpib[sel]).astype(U32)
+            skew_partitions.append(SkewPartition(mphf=fp, positions=positions,
+                                                 hindex=hindex))
 
     total_chars = int(parsed.endpoints[-1])
     nbo = max(1, int(np.ceil(np.log2(max(2, total_chars)))))

@@ -21,9 +21,10 @@ large-batch array program. The design minimizes DEPENDENT GATHER ROUNDS
   * the regular-mode RC fallback and canonical tie retry run as compacted
     windows over actual misses/ties (dense full-width pass only for
     mostly-miss batches — nested while_loops schedule poorly);
-  * id resolution: ONE block-row gather sid_rows[offset>>5] =
-    [sid, ep[sid..sid+C+1]] + in-register fix-up (replaces Elias-Fano
-    locate / binary search, offsets.hpp:41-65).
+  * id resolution rides the SAME candidate-row gather: every fused row
+    carries a [sid0, ep0, ep1, ep2] resolve quad for its start span
+    (replaces Elias-Fano locate / binary search, offsets.hpp:41-65 —
+    round 3 removed the last dependent resolve gather).
 
 64-bit quantities are (hi, lo) uint32 pairs (ops/u64.py) — no int64 on
 device. Char offsets / ids are uint32 (one shard handles < 2^32 chars; larger
@@ -89,19 +90,7 @@ def _device_arrays(index):
     np.add.at(delta, ep[:-1], 1)
     np.add.at(delta, ep[1:] - (index.k - 1), -1)
     vstart = np.cumsum(delta[:-1]) > 0
-    vwords = np.packbits(vstart, bitorder="little")
-    vwords = np.pad(vwords, (0, (-len(vwords)) % 4 + 4)).view(np.uint32)
 
-    # block-sid resolve rows: for each 32-char block, [sid_of_block_start,
-    # ep[sid] .. ep[sid+C+1]] — the whole id resolution is ONE row gather +
-    # in-register selects (see lookup_with_info resolve step)
-    C = 32 // index.k + 1
-    nblocks = (index.num_chars + 31) // 32 + 1
-    hint = np.searchsorted(ep, np.arange(nblocks, dtype=np.int64) * 32,
-                           side="right") - 1
-    eps_idx = np.clip(hint[:, None] + np.arange(C + 2)[None, :], 0, len(ep) - 1)
-    sid_rows = np.concatenate(
-        [hint[:, None].astype(np.uint32), ep[eps_idx].astype(np.uint32)], axis=1)
     kmer_cum64 = ep - np.arange(len(ep)) * (index.k - 1)
     nkb = (index.num_kmers + 31) // 32 + 1
     sidk32 = (np.searchsorted(kmer_cum64, np.arange(nkb, dtype=np.int64) * 32,
@@ -128,9 +117,15 @@ def _device_arrays(index):
     Wv = (kmw + 1 + 31) // 32
 
     def fused_rows(dpos):
-        """(n,) candidate char offsets -> (n, 1+Wv+Ww) rows
-        [dpos, valid-start bits, packed-string window] — one gather verifies
-        a candidate entirely in-register."""
+        """(n,) candidate char offsets -> (n, 1+Wv+Ww+4) rows
+        [dpos, valid-start bits, packed-string window, sid0, ep0, ep1, ep2]
+        — one gather verifies AND id-resolves a candidate entirely
+        in-register. The candidate's possible kmer starts span
+        [dpos-(k-m), dpos], shorter than any string (>= k chars), so at most
+        ONE string boundary falls inside: sid = sid0 + (off >= ep1),
+        (begin, end) = (ep0, ep1) or (ep1, ep2). Replaces the block-row
+        sid_rows gather (reference offsets.hpp:41-65 locate analog) with
+        row-resident data."""
         c0 = dpos.astype(np.int64)
         wlo = np.maximum(c0 - kmw, 0) >> 4
         win = s32[np.clip(wlo[:, None] + np.arange(Ww)[None, :], 0, len(s32) - 1)]
@@ -140,9 +135,13 @@ def _device_arrays(index):
         vb8 = np.packbits(bits, axis=1, bitorder="little")
         vbp = np.zeros((len(c0), Wv * 4), dtype=np.uint8)
         vbp[:, : vb8.shape[1]] = vb8
+        sid0 = np.searchsorted(ep, np.maximum(c0 - kmw, 0), side="right") - 1
+        eidx = np.clip(sid0[:, None] + np.arange(3)[None, :], 0, len(ep) - 1)
+        rsv = np.concatenate([sid0[:, None].astype(np.uint32),
+                              ep[eidx].astype(np.uint32)], axis=1)
         return np.concatenate([dpos.astype(np.uint32)[:, None],
-                               np.ascontiguousarray(vbp).view(np.uint32), win],
-                              axis=1)
+                               np.ascontiguousarray(vbp).view(np.uint32), win,
+                               rsv], axis=1)
 
     heavym = status == 2
     c0rows = fused_rows(np.where(heavym, 0, cand0.astype(np.int64)).astype(np.uint32))
@@ -151,15 +150,12 @@ def _device_arrays(index):
     cols = [sb, a.astype(np.uint32)] + [c0rows[:, i] for i in range(c0rows.shape[1])]
     cw_row = np.stack([_expand_to_slots(col, f) for col in cols], axis=1)
     mid_rows = fused_rows(mid_arr) \
-        if len(mid_arr) else np.zeros((1, 1 + Wv + Ww), np.uint32)
+        if len(mid_arr) else np.zeros((1, 1 + Wv + Ww + 4), np.uint32)
     heavy_arr = np.asarray(index.heavy_load_buckets).astype(np.uint32)
     heavy_rows = fused_rows(heavy_arr) \
-        if len(heavy_arr) else np.zeros((1, 1 + Wv + Ww), np.uint32)
+        if len(heavy_arr) else np.zeros((1, 1 + Wv + Ww + 4), np.uint32)
     arrs = {
         "strings32": s32,
-        "vstart": vwords,
-        "endpoints": index.string_endpoints.astype(np.uint32),
-        "sid_rows": sid_rows,
         "sidk32": sidk32,
         "kmer_cum": (
             index.string_endpoints.astype(np.int64)
@@ -181,26 +177,65 @@ def _device_arrays(index):
              (smix & np.uint64(0xFFFFFFFF)).astype(np.uint32)], axis=1)
 
     # skew partitions: concatenated arrays + per-partition params (8 slots);
-    # positions re-keyed by raw slot (no remap gather at eval)
-    sk_pilots, sk_pos = [], []
+    # re-keyed by raw slot (no remap gather at eval). When the index carries
+    # hindex (>= v1.2 builds), each slot maps straight to a FUSED heavy row
+    # (sk_hrows[pos_off[pid] + slot]) — one gather fewer than the
+    # positions -> heavy_rows chain, and slot-range shardable.
+    use_hrows = (len(heavy_arr) > 0 and len(index.skew_partitions) > 0
+                 and all(p.hindex is not None for p in index.skew_partitions))
+    # >= v1.2 builds use PartitionedMPHF for every size class (P=1 when
+    # small): uniform partitioned eval, human-scale classes supported
+    from .mphf import PartitionedMPHF as _PMPHF
+
+    use_part_skew = (len(index.skew_partitions) > 0
+                     and all(isinstance(p.mphf, _PMPHF)
+                             for p in index.skew_partitions if p.mphf.n > 0)
+                     and any(p.mphf.n > 0 for p in index.skew_partitions))
+    sk_pilots, sk_aux, sk_seedrows = [], [], []
     params = {name: np.zeros(_NUM_SKEW, dtype=np.uint32) for name in
               ("table", "nbuckets", "seedmix_hi", "seedmix_lo",
-               "pilot_off", "pos_off")}
+               "pilot_off", "pos_off", "np2", "seed_off")}
     params["nbuckets"][:] = 1
     params["table"][:] = 1
+    params["np2"][:] = 1
     for i, part in enumerate(index.skew_partitions[:_NUM_SKEW]):
         fp = part.mphf
-        params["table"][i] = max(1, fp.table_size)
-        params["nbuckets"][i] = fp.num_buckets
         smix = int(H.splitmix64(np.uint64(fp.seed)))
         params["seedmix_hi"][i] = smix >> 32
         params["seedmix_lo"][i] = smix & 0xFFFFFFFF
         params["pilot_off"][i] = sum(len(x) for x in sk_pilots)
-        params["pos_off"][i] = sum(len(x) for x in sk_pos)
+        params["pos_off"][i] = sum(len(x) for x in sk_aux)
+        if use_part_skew:
+            params["seed_off"][i] = sum(len(x) for x in sk_seedrows)
+            if isinstance(fp, _PMPHF):
+                params["table"][i] = max(1, fp.part_table)
+                params["nbuckets"][i] = fp.part_buckets
+                params["np2"][i] = fp.num_partitions
+                smx = fp.seedmixes()
+                sk_seedrows.append(np.stack(
+                    [(smx >> np.uint64(32)).astype(np.uint32),
+                     (smx & np.uint64(0xFFFFFFFF)).astype(np.uint32)], axis=1))
+            else:  # empty class placeholder
+                sk_seedrows.append(np.zeros((1, 2), np.uint32))
+        else:
+            params["table"][i] = max(1, fp.table_size)
+            params["nbuckets"][i] = fp.num_buckets
         sk_pilots.append(_pilots_u32(fp))
-        sk_pos.append(_expand_to_slots(part.positions, fp))
+        sk_aux.append(_expand_to_slots(part.hindex if use_hrows
+                                       else part.positions, fp))
+    if use_part_skew:
+        arrs["sk_seedrows"] = (np.concatenate(sk_seedrows) if sk_seedrows
+                               else np.zeros((1, 2), np.uint32))
     arrs["sk_pilots"] = _nz(np.concatenate(sk_pilots) if sk_pilots else np.zeros(0, np.uint32))
-    arrs["sk_positions"] = _nz(np.concatenate(sk_pos) if sk_pos else np.zeros(0, np.uint32))
+    if use_hrows:
+        allh = np.concatenate(sk_aux) if sk_aux else np.zeros(0, np.uint32)
+        gidx = np.clip(allh.astype(np.int64), 0, max(0, len(heavy_arr) - 1))
+        arrs["sk_hrows"] = (fused_rows(heavy_arr[gidx]) if len(allh)
+                            else np.zeros((1, 1 + Wv + Ww + 4), np.uint32))
+        # the positions->heavy_rows chain is dead in this mode
+        arrs["heavy_rows"] = np.zeros((1, 1 + Wv + Ww + 4), np.uint32)
+    else:
+        arrs["sk_positions"] = _nz(np.concatenate(sk_aux) if sk_aux else np.zeros(0, np.uint32))
     for name, v in params.items():
         arrs[f"sk_{name}"] = v
 
@@ -269,6 +304,20 @@ class StaticCfg:
         self.max_bucket_size = index.stats.get("max_bucket_size", 1 << 6)
         # static: no skew partitions -> HEAVYLOAD never occurs, skip its kernel
         self.has_skew = any(p.mphf.n > 0 for p in index.skew_partitions)
+        # >= v1.2 builds carry hindex: heavy lanes resolve slot -> fused row
+        # directly (one gather fewer; slot-range shardable)
+        self.skew_hrows = (self.has_skew
+                           and all(p.hindex is not None
+                                   for p in index.skew_partitions))
+        # >= v1.2 builds use PartitionedMPHF for skew size classes
+        from .mphf import PartitionedMPHF as _PM
+
+        self.skew_partitioned = (self.has_skew
+                                 and all(isinstance(p.mphf, _PM)
+                                         for p in index.skew_partitions
+                                         if p.mphf.n > 0))
+        # set by ShardedEngine when the skew rows shard over a mesh axis
+        self.bucket_axis = None
         # true max string crossings per 32-KMER-ID block (for make_access).
         # Unlike char-offset space (where strings >= k chars bound crossings
         # by 32//k+1), a string can contribute a single kmer, so up to 32
@@ -310,38 +359,73 @@ def mphf_eval_minimizer(cfg, arrs, minval):
     return u.mulhi32(u.fmix32(mh.lo ^ u.fmix32(pilot)), U32(cfg.mphf_table))
 
 
-def skew_eval(cfg, arrs, kmers32, cw_a, pid):
-    """HEAVYLOAD resolution via per-partition kmer MPHFs (reference
-    skew_index::lookup, sparse_and_skew_index.hpp:34-44). Returns the INDEX
-    into heavy_rows (the caller gathers the fused candidate row)."""
+def skew_slot(cfg, arrs, kmers32, pid):
+    """Per-size-class kmer-MPHF slot of each (canonicalized) kmer (reference
+    skew_index::lookup hashing, sparse_and_skew_index.hpp:34-44). v1.2
+    classes are PartitionedMPHFs (P=1 when small): one extra tiny seedrow
+    gather, mirroring mphf_eval_minimizer's partitioned branch."""
     seedmix = u.u64(_take(arrs["sk_seedmix_hi"], pid), _take(arrs["sk_seedmix_lo"], pid))
     h = u.hash64_words(kmers32, seedmix, cfg.golden)
     nb = _take(arrs["sk_nbuckets"], pid)
+    table = _take(arrs["sk_table"], pid)
+    if getattr(cfg, "skew_partitioned", False):
+        pid2 = u.mulhi32(h.hi, _take(arrs["sk_np2"], pid))
+        row = jnp.take(arrs["sk_seedrows"],
+                       (_take(arrs["sk_seed_off"], pid) + pid2).astype(I32),
+                       axis=0, mode="clip")
+        h2 = u.splitmix64(u.xor(h, u.u64(row[:, 0], row[:, 1])))
+        bucket = pid2 * nb + u.mulhi32(h2.hi, nb)
+        pilot = _take(arrs["sk_pilots"],
+                      _take(arrs["sk_pilot_off"], pid) + bucket)
+        local = u.mulhi32(u.fmix32(h2.lo ^ u.fmix32(pilot)), table)
+        return pid2 * table + local
     bucket = u.mulhi32(h.hi, nb)
     pilot = _take(arrs["sk_pilots"], _take(arrs["sk_pilot_off"], pid) + bucket)
-    table = _take(arrs["sk_table"], pid)
-    slot = u.mulhi32(u.fmix32(h.lo ^ u.fmix32(pilot)), table)
+    return u.mulhi32(u.fmix32(h.lo ^ u.fmix32(pilot)), table)
+
+
+def skew_eval(cfg, arrs, kmers32, cw_a, pid):
+    """HEAVYLOAD resolution via per-partition kmer MPHFs. Returns the INDEX
+    into heavy_rows (the caller gathers the fused candidate row). Legacy
+    (pre-hindex) path: slot -> pos-in-bucket -> cw_a + pos."""
+    slot = skew_slot(cfg, arrs, kmers32, pid)
     pos_in_bucket = _take(arrs["sk_positions"], _take(arrs["sk_pos_off"], pid) + slot)
     return cw_a + pos_in_bucket
 
 
-def _empty_res(B):
-    return {
+def _empty_res(B, fields="full"):
+    out = {
         "kmer_id": jnp.full((B,), INVALID32, dtype=U32),
-        "kmer_id_in_string": jnp.full((B,), INVALID32, dtype=U32),
-        "kmer_offset": jnp.full((B,), INVALID32, dtype=U32),
         "kmer_orientation": jnp.full((B,), FORWARD_ORIENTATION, dtype=I32),
-        "string_id": jnp.full((B,), INVALID32, dtype=U32),
-        "string_begin": jnp.full((B,), INVALID32, dtype=U32),
-        "string_end": jnp.full((B,), INVALID32, dtype=U32),
         "minimizer_found": jnp.ones((B,), dtype=bool),
     }
+    if fields == "full":
+        out.update({
+            "kmer_id_in_string": jnp.full((B,), INVALID32, dtype=U32),
+            "kmer_offset": jnp.full((B,), INVALID32, dtype=U32),
+            "string_id": jnp.full((B,), INVALID32, dtype=U32),
+            "string_begin": jnp.full((B,), INVALID32, dtype=U32),
+            "string_end": jnp.full((B,), INVALID32, dtype=U32),
+        })
+    return out
 
 
-def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
+def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0,
+                     fields="full", minpos2=None):
     """Shared probe kernel. Regular mode: kmers_rc32 is None.
     Canonical mode: candidates verified at two pos_in_kmer values against both
     strands (spss:237-275). Returns result dict (+ 'found').
+
+    minpos2 (canonical): the OTHER strand's minimizer position where the two
+    strand minimizer VALUES tie (equal elsewhere). A tie probes the SAME
+    bucket (same value -> same MPHF slot), so the reference's whole tie
+    RETRY (src/dictionary.cpp:34-41) folds into two extra position tries
+    here — exact because a present kmer matches at exactly ONE offset, so
+    try order cannot change the result.
+
+    fields="ids" skips the string_begin/end/kmer_id_in_string/offset outputs
+    (the reference's plain lookup() returns only the id, dictionary.hpp:34;
+    lookup_advanced is the full form) — fewer scatters on the pair sweep.
 
     Structure (all static shapes):
       1. one full-width probe of candidate 0 (resolves singletons, heavy via
@@ -356,6 +440,7 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
     B = kmers32.shape[0]
     k, m = cfg.k, cfg.m
     canonical = kmers_rc32 is not None
+    full = fields == "full"
 
     ids = mphf_eval_minimizer(cfg, arrs, minval)
     if "cw_lo" in arrs:
@@ -372,6 +457,7 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
     Wv, Ww = cfg.vbits_words, cfg.win_words
     vb = row[:, 3 : 3 + Wv]
     win = row[:, 3 + Wv : 3 + Wv + Ww]
+    rsv0 = row[:, 3 + Wv + Ww : 7 + Wv + Ww]
     status = sb & U32(3)
     cw_b = sb >> U32(2)
     heavy = status == 2
@@ -380,21 +466,32 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
     pid = jnp.where(heavy, cw_b, U32(0))
 
     minpos_u = minpos.astype(U32)
-    alt_pos = U32(k - m) - minpos_u  # canonical second try
+    if canonical:
+        tries = [minpos_u, U32(k - m) - minpos_u]
+        if minpos2 is not None:
+            mp2 = minpos2.astype(U32)
+            tries += [mp2, U32(k - m) - mp2]
+    else:
+        tries = [minpos_u]
 
     minval_rc = P.revcomp_mmer64(minval, m) if canonical else None
     kmw = U32(cfg.kmw)
 
-    def verify_fused(cand, vbw, winw, active, lane_kmers, lane_kmers_rc,
-                     pos, apos):
-        """Verify one fused candidate row per lane ENTIRELY in-register:
-        the row carries the packed-string window + valid-start bits, so no
-        string gather is needed. Returns (match, ko, orient)."""
+    def verify_fused(cand, vbw, winw, rsv, active, lane_kmers, lane_kmers_rc,
+                     lane_tries):
+        """Verify AND id-resolve one fused candidate row per lane ENTIRELY
+        in-register: the row carries the packed-string window, valid-start
+        bits and the [sid0, ep0, ep1, ep2] resolve quad — no string or
+        offsets gather. Returns (match, ko, orient, sid, sbeg, send)."""
         wlo16 = ((cand - jnp.minimum(cand, kmw)) >> U32(4)) << U32(4)
         match = jnp.zeros(cand.shape, dtype=bool)
         bko = jnp.zeros(cand.shape, dtype=U32)
         bor = jnp.full(cand.shape, FORWARD_ORIENTATION, dtype=I32)
-        for pos_try in ((pos, apos) if canonical else (pos,)):
+        bsid = jnp.zeros(cand.shape, dtype=U32)
+        bsb = jnp.zeros(cand.shape, dtype=U32)
+        bse = jnp.zeros(cand.shape, dtype=U32)
+        sid0, ep1 = rsv[:, 0], rsv[:, 2]
+        for pos_try in lane_tries:
             can = active & ~match & (cand >= pos_try)
             off = jnp.where(can, cand - pos_try, U32(0))
             j = kmw - pos_try
@@ -417,13 +514,18 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
             else:
                 hit = ok & P.kmer_equal(read, lane_kmers)
             bko = jnp.where(hit, off, bko)
+            over = off >= ep1  # at most one boundary in the start span
+            bsid = jnp.where(hit, sid0 + over, bsid)
+            if full:
+                bsb = jnp.where(hit, jnp.where(over, ep1, rsv[:, 1]), bsb)
+                bse = jnp.where(hit, jnp.where(over, rsv[:, 3], ep1), bse)
             match = match | hit
-        return match, bko, bor
+        return match, bko, bor, bsid, bsb, bse
 
     # ---- candidate 0 (SINGLETON/MIDLOAD): its fused row came with the
     # codeword gather. The guard m-mer compare (spss:47-65) extracts from
     # the same window.
-    res = _empty_res(B)
+    res = _empty_res(B, fields)
     c0 = cand0_pre
     wlo16 = ((c0 - jnp.minimum(c0, kmw)) >> U32(4)) << U32(4)
     gv = P.extract_window_dyn(win, (c0 - wlo16) * U32(2), 2 * m,
@@ -432,8 +534,8 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
     if canonical:
         guard_ok = guard_ok | u.equal(gv, minval_rc)
 
-    found, bko, bor = verify_fused(c0, vb, win, active0 & ~heavy,
-                                   kmers32, kmers_rc32, minpos_u, alt_pos)
+    found, bko, bor, bsid, bsb, bse = verify_fused(
+        c0, vb, win, rsv0, active0 & ~heavy, kmers32, kmers_rc32, tries)
 
     # HEAVYLOAD lanes: candidate row located by the skew index
     if cfg.has_skew:
@@ -442,15 +544,37 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
             canon = jnp.where(use_rc[:, None], kmers_rc32, kmers32)
         else:
             canon = kmers32
-        hidx = skew_eval(cfg, arrs, canon, cw_a, pid)
-        hrow = jnp.take(arrs["heavy_rows"], hidx.astype(I32), axis=0, mode="clip")
+        h_active = active0 & heavy
+        if cfg.skew_hrows:
+            # slot -> fused row directly (hindex-keyed table, one gather
+            # fewer than the positions -> heavy_rows chain)
+            slot = skew_slot(cfg, arrs, canon, pid)
+            hidx = _take(arrs["sk_pos_off"], pid) + slot
+            if "sk_lo" in arrs:
+                # sk_hrows shard by row range over the bucket axis; only the
+                # MINIMIZER owner knows pid, so it broadcasts the global row
+                # index and the ROW owner answers (parallel/sharded.py)
+                r = jnp.where(h_active, hidx, U32(0xFFFFFFFF))
+                r = jax.lax.pmin(r, cfg.bucket_axis)
+                h_active = (r >= arrs["sk_lo"]) & (r < arrs["sk_hi"])
+                hidx = jnp.where(h_active, r - arrs["sk_lo"], U32(0))
+            hrow = jnp.take(arrs["sk_hrows"], hidx.astype(I32), axis=0,
+                            mode="clip")
+        else:
+            hidx = skew_eval(cfg, arrs, canon, cw_a, pid)
+            hrow = jnp.take(arrs["heavy_rows"], hidx.astype(I32), axis=0,
+                            mode="clip")
         Wvh = cfg.vbits_words
-        fh, bkoh, borh = verify_fused(hrow[:, 0], hrow[:, 1 : 1 + Wvh],
-                                      hrow[:, 1 + Wvh :], active0 & heavy,
-                                      kmers32, kmers_rc32, minpos_u, alt_pos)
+        fh, bkoh, borh, hsid, hsb, hse = verify_fused(
+            hrow[:, 0], hrow[:, 1 : 1 + Wvh],
+            hrow[:, 1 + Wvh : 1 + Wvh + Ww], hrow[:, 1 + Wvh + Ww :],
+            h_active, kmers32, kmers_rc32, tries)
         found = found | fh
         bko = jnp.where(fh, bkoh, bko)
         bor = jnp.where(fh, borh, bor)
+        bsid = jnp.where(fh, hsid, bsid)
+        bsb = jnp.where(fh, hsb, bsb)
+        bse = jnp.where(fh, hse, bse)
 
     res["minimizer_found"] = jnp.where(active0 & ~guard_ok & ~heavy, False,
                                        res["minimizer_found"])
@@ -462,17 +586,17 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
     PMAX = max(128, B // 8)  # pair-window width; multiple windows when exceeded
     need = active0 & midload & ~found & (size > U32(1))
     nprobe = jnp.where(need, size - U32(1), U32(0)).astype(jnp.int32)
-    ends = jnp.cumsum(nprobe)
-    starts = ends - nprobe
+    starts = P.prefix_sum_ex(nprobe)
+    ends = starts + nprobe
     total = ends[-1]
 
     # compacted lane list: lane_ids[rank] = lane (rank in start order)
-    rank = jnp.cumsum(need.astype(jnp.int32)) - 1
+    rank = P.prefix_sum_ex(need.astype(jnp.int32))
     lane_ids = jnp.zeros((B,), dtype=jnp.int32).at[
         jnp.where(need, rank, B)].set(jnp.arange(B, dtype=jnp.int32), mode="drop")
 
     def pair_window(w, carry):
-        found, bko, bor = carry
+        found, bko, bor, bsid, bsb, bse = carry
         base = w * PMAX
         slot = jnp.arange(PMAX, dtype=jnp.int32)
         gid = base + slot
@@ -481,7 +605,7 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
         marks = jnp.zeros((PMAX,), dtype=jnp.int32).at[
             jnp.where(in_w, local_start, PMAX)].add(1, mode="drop")
         rank_base = jnp.sum((need & (ends <= base)).astype(jnp.int32))
-        seg = jnp.cumsum(marks) - 1 + rank_base
+        seg = P.prefix_sum_ex(marks) + marks - 1 + rank_base
         lane = _take(lane_ids, jnp.clip(seg, 0, B - 1).astype(U32))
         pvalid = gid < total
         lane_u = lane.astype(U32)
@@ -491,20 +615,27 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
         lk = jnp.take(kmers32, lane, axis=0, mode="clip")
         lkr = jnp.take(kmers_rc32, lane, axis=0, mode="clip") if canonical else None
         Wvm = cfg.vbits_words
-        pm, pko, por = verify_fused(mrow[:, 0], mrow[:, 1 : 1 + Wvm],
-                                    mrow[:, 1 + Wvm :], pvalid, lk, lkr,
-                                    _take(minpos_u, lane_u), _take(alt_pos, lane_u))
+        pm, pko, por, psid, psb, pse = verify_fused(
+            mrow[:, 0], mrow[:, 1 : 1 + Wvm], mrow[:, 1 + Wvm : 1 + Wvm + Ww],
+            mrow[:, 1 + Wvm + Ww :], pvalid, lk, lkr,
+            [_take(t, lane_u) for t in tries])
         # at most one candidate per lane can match (kmers are distinct in the
         # SPSS), so scatter-max combines are exact
-        hit = jnp.zeros((B,), dtype=U32).at[
-            jnp.where(pm, lane, B)].max(pko + U32(1), mode="drop")
-        orr = jnp.zeros((B,), dtype=I32).at[
-            jnp.where(pm, lane, B)].max(por + I32(2), mode="drop")
+        tgt = jnp.where(pm, lane, B)
+        hit = jnp.zeros((B,), dtype=U32).at[tgt].max(pko + U32(1), mode="drop")
+        orr = jnp.zeros((B,), dtype=I32).at[tgt].max(por + I32(2), mode="drop")
+        ssid = jnp.zeros((B,), dtype=U32).at[tgt].max(psid, mode="drop")
         newly = hit > 0
         bko = jnp.where(newly, hit - U32(1), bko)
         bor = jnp.where(newly, orr - I32(2), bor)
+        bsid = jnp.where(newly, ssid, bsid)
+        if full:
+            ssb = jnp.zeros((B,), dtype=U32).at[tgt].max(psb, mode="drop")
+            sse = jnp.zeros((B,), dtype=U32).at[tgt].max(pse, mode="drop")
+            bsb = jnp.where(newly, ssb, bsb)
+            bse = jnp.where(newly, sse, bse)
         found = found | newly
-        return found, bko, bor
+        return found, bko, bor, bsid, bsb, bse
 
     num_windows = (total + PMAX - 1) // PMAX
 
@@ -516,40 +647,28 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0):
         w, state = carry
         return w + 1, pair_window(w, state)
 
-    _, (found, bko, bor) = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), (found, bko, bor)))
+    _, (found, bko, bor, bsid, bsb, bse) = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), (found, bko, bor, bsid, bsb, bse)))
 
-    # ---- resolve ids once (offsets.hpp locate analog): ONE block-row gather
-    # [sid, ep[sid..sid+C+1]] + bounded in-register fix-up
+    # ---- ids come straight from the winning row's resolve quad (no gather)
     off = jnp.where(found, bko, U32(0))
-    C = 32 // k + 1  # max string starts inside one 32-char block (strings >= k)
-    row = jnp.take(arrs["sid_rows"], (off >> U32(5)).astype(I32), axis=0,
-                   mode="clip")
-    hint = row[:, 0].astype(I32)
-    eps = row[:, 1:]
-    cross = jnp.zeros_like(hint)
-    for c in range(C):
-        cross = cross + (off >= eps[:, 1 + c]).astype(I32)
-    sid = hint + cross
-    sb = eps[:, 0]
-    se = eps[:, 1]
-    for c in range(1, C + 1):
-        sel = cross == c
-        sb = jnp.where(sel, eps[:, c], sb)
-        se = jnp.where(sel, eps[:, c + 1], se)
-    res["kmer_offset"] = jnp.where(found, off, res["kmer_offset"])
-    res["string_id"] = jnp.where(found, sid.astype(U32), res["string_id"])
-    res["string_begin"] = jnp.where(found, sb, res["string_begin"])
-    res["string_end"] = jnp.where(found, se, res["string_end"])
-    res["kmer_id"] = jnp.where(found, off - sid.astype(U32) * U32(k - 1), res["kmer_id"])
-    res["kmer_id_in_string"] = jnp.where(found, off - sb, res["kmer_id_in_string"])
+    res["kmer_id"] = jnp.where(found, off - bsid * U32(k - 1), res["kmer_id"])
     res["kmer_orientation"] = jnp.where(found, bor, res["kmer_orientation"])
+    if full:
+        res["kmer_offset"] = jnp.where(found, off, res["kmer_offset"])
+        res["string_id"] = jnp.where(found, bsid, res["string_id"])
+        res["string_begin"] = jnp.where(found, bsb, res["string_begin"])
+        res["string_end"] = jnp.where(found, bse, res["string_end"])
+        res["kmer_id_in_string"] = jnp.where(found, off - bsb,
+                                             res["kmer_id_in_string"])
     res["found"] = found
     return res
 
 
-def make_lookup(cfg):
-    """Top-level batched lookup kernel (src/dictionary.cpp:58-78 semantics)."""
+def make_lookup(cfg, fields="full"):
+    """Top-level batched lookup kernel (src/dictionary.cpp:58-78 semantics).
+    fields="ids" returns only kmer_id/orientation/minimizer_found (the
+    reference's plain lookup(), dictionary.hpp:34)."""
 
     def fn(arrs, kmers32):
         B = kmers32.shape[0]
@@ -564,54 +683,32 @@ def make_lookup(cfg):
             tie = u.equal(mv_r, mv_f)
             mv1 = u.select(rc_first, mv_r, mv_f)
             mp1 = jnp.where(rc_first, mp_r, mp_f)
-            res = lookup_with_info(cfg, arrs, kmers32, kmers_rc32, mv1, mp1, all_active)
+            if (cfg.max_start_word + 1) * cfg.W <= 8:
+                # a TIE (both strand minimizer values equal) probes the same
+                # bucket, so the reference's retry (src/dictionary.cpp:34-41)
+                # folds into two extra tie-gated position tries — no second
+                # probe pass, no compaction machinery
+                mp2 = jnp.where(tie, mp_r, mp1)
+                res = lookup_with_info(cfg, arrs, kmers32, kmers_rc32, mv1,
+                                       mp1, all_active, fields, minpos2=mp2)
+            else:
+                # wide kmers: the 4-try unroll blows up XLA compile times
+                # (k>~55, cf. the minimizer-fusion cap in ops/packed.py);
+                # ties are rare, so a dense masked retry probe under cond
+                res = lookup_with_info(cfg, arrs, kmers32, kmers_rc32, mv1,
+                                       mp1, all_active, fields)
+                retry = tie & ~res["found"]
 
-            # tie retry (both strand minimizers equal AND first probe missed,
-            # src/dictionary.cpp:34-41): ties are rare, so COMPACT the retry
-            # lanes into B/8-wide windows instead of a full-width masked pass
-            retry = tie & ~res["found"]
-            Wr = max(128, B // 8)
-            lane = jnp.arange(B, dtype=I32)
-            n_retry = retry.sum()
+                def retried(r):
+                    r2 = lookup_with_info(cfg, arrs, kmers32, kmers_rc32,
+                                          mv_r, mp_r, retry, fields)
+                    return _merge(r, r2, retry & r2["found"], retry)
 
-            def rt_window(w, res, lane_ids, total):
-                slot = w * Wr + jnp.arange(Wr, dtype=I32)
-                lid = jnp.take(lane_ids, jnp.clip(slot, 0, B - 1), mode="clip")
-                ok = slot < total
-                km = jnp.take(kmers32, lid, axis=0, mode="clip")
-                kmr = jnp.take(kmers_rc32, lid, axis=0, mode="clip")
-                r2 = lookup_with_info(cfg, arrs, km, kmr,
-                                      u64_take(mv_r, lid), jnp.take(mp_r, lid, mode="clip"),
-                                      ok)
-                f2 = r2["found"] & ok
-                res = dict(res)
-                tgt_f = jnp.where(f2, lid, B)
-                tgt_ok = jnp.where(ok, lid, B)
-                for key in ("kmer_id", "kmer_id_in_string", "kmer_offset",
-                            "string_id", "string_begin", "string_end",
-                            "kmer_orientation"):
-                    res[key] = res[key].at[tgt_f].set(r2[key], mode="drop")
-                res["minimizer_found"] = res["minimizer_found"].at[tgt_ok].set(
-                    r2["minimizer_found"], mode="drop")
-                res["found"] = res["found"].at[tgt_f].set(True, mode="drop")
-                return res
-
-            def retried(res):
-                rank = jnp.cumsum(retry.astype(I32)) - 1
-                lane_ids = jnp.zeros((B,), dtype=I32).at[
-                    jnp.where(retry, rank, B)].set(lane, mode="drop")
-                total = rank[-1] + 1
-                nw = (total + Wr - 1) // Wr
-                _, out = jax.lax.while_loop(
-                    lambda c: c[0] < nw,
-                    lambda c: (c[0] + 1, rt_window(c[0], c[1], lane_ids, total)),
-                    (jnp.int32(0), res))
-                return out
-
-            res = jax.lax.cond(n_retry > 0, retried, lambda r: r, res)
+                res = jax.lax.cond(retry.any(), retried, lambda r: r, res)
         else:
             mv, mp = P.compute_minimizer(kmers32, cfg.k, cfg.m, magic)
-            res = lookup_with_info(cfg, arrs, kmers32, None, mv, mp, all_active)
+            res = lookup_with_info(cfg, arrs, kmers32, None, mv, mp, all_active,
+                                   fields)
 
             # RC fallback (src/dictionary.cpp:71-76), COMPACTED to actual
             # misses and processed in B/4-wide windows: free when everything
@@ -628,13 +725,15 @@ def make_lookup(cfg):
                 km = jnp.take(kmers32, lid, axis=0, mode="clip")
                 rc = P.revcomp_kmers(km, cfg.k)
                 mv_r, mp_r = P.compute_minimizer(rc, cfg.k, cfg.m, magic)
-                r2 = lookup_with_info(cfg, arrs, rc, None, mv_r, mp_r, ok)
+                r2 = lookup_with_info(cfg, arrs, rc, None, mv_r, mp_r, ok,
+                                      fields)
                 f2 = r2["found"] & ok
                 res = dict(res)
                 tgt_f = jnp.where(f2, lid, B)
                 tgt_ok = jnp.where(ok, lid, B)
-                for key in ("kmer_id", "kmer_id_in_string", "kmer_offset",
-                            "string_id", "string_begin", "string_end"):
+                for key in r2:
+                    if key in ("found", "minimizer_found", "kmer_orientation"):
+                        continue
                     res[key] = res[key].at[tgt_f].set(r2[key], mode="drop")
                 # reference sets BACKWARD orientation on the RC attempt even
                 # when it also misses (src/dictionary.cpp:71-76)
@@ -651,10 +750,10 @@ def make_lookup(cfg):
             def windowed(res):
                 # compaction prep lives here so an all-found batch (the cond
                 # below) pays nothing for the fallback
-                rank = jnp.cumsum(miss.astype(I32)) - 1
+                rank = P.prefix_sum_ex(miss.astype(I32))
                 lane_ids = jnp.zeros((B,), dtype=I32).at[
                     jnp.where(miss, rank, B)].set(lane, mode="drop")
-                total = rank[-1] + 1
+                total = rank[-1] + miss[-1].astype(I32)
                 nw = (total + Wf - 1) // Wf
                 _, out = jax.lax.while_loop(
                     lambda c: c[0] < nw,
@@ -668,7 +767,8 @@ def make_lookup(cfg):
                 # poorly on TPU)
                 kmers_rc32 = P.revcomp_kmers(kmers32, cfg.k)
                 mv_r, mp_r = P.compute_minimizer(kmers_rc32, cfg.k, cfg.m, magic)
-                res2 = lookup_with_info(cfg, arrs, kmers_rc32, None, mv_r, mp_r, miss)
+                res2 = lookup_with_info(cfg, arrs, kmers_rc32, None, mv_r, mp_r,
+                                        miss, fields)
                 merged = _merge(res, res2, miss & res2["found"], miss)
                 merged["minimizer_found"] = jnp.where(
                     miss, res["minimizer_found"] | res2["minimizer_found"],
@@ -760,6 +860,10 @@ class DeviceEngine:
         self.arrs = {k2: jax.device_put(v, device) for k2, v in host_arrs.items()}
         self._lookup_fn = make_lookup(self.cfg)
         self._lookup = jax.jit(self._lookup_fn)
+        # id-only kernel (the reference's plain lookup(), dictionary.hpp:34):
+        # fewer outputs and pair-sweep scatters; compiled lazily on first use
+        self._lookup_ids_fn = make_lookup(self.cfg, fields="ids")
+        self._lookup_ids = jax.jit(self._lookup_ids_fn)
         self._access = jax.jit(make_access(self.cfg))
         self._weight = jax.jit(make_weight(self.cfg)) if index.weights is not None else None
         self._neighbours = jax.jit(make_neighbours(self.cfg))

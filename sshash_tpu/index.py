@@ -52,6 +52,11 @@ class Weights:
 class SkewPartition:
     mphf: MPHF  # kmer-keyed
     positions: np.ndarray  # uint32[mphf.n] pos-in-bucket per kmer
+    # GLOBAL index into heavy_load_buckets per kmer (= bucket begin +
+    # positions); lets the engine resolve a heavy kmer with one row gather
+    # (slot -> fused row) instead of positions -> heavy_rows. Optional:
+    # pre-1.2 files lack it and fall back to the two-gather path.
+    hindex: np.ndarray | None = None
 
 
 @dataclass
@@ -179,7 +184,11 @@ class Index:
         for i, p in enumerate(self.skew_partitions):
             arrays.update(_mphf_arrays(p.mphf, f"skew_{i}"))
             arrays[f"skew_positions_{i}"] = p.positions
-            skew_meta.append(_mphf_meta(p.mphf))
+            sm = _mphf_meta(p.mphf)
+            if p.hindex is not None:
+                arrays[f"skew_hindex_{i}"] = p.hindex
+                sm["has_hindex"] = True
+            skew_meta.append(sm)
         meta["skew_mphfs"] = skew_meta
         if self.weights is not None:
             arrays["weights_value_ids"] = self.weights.interval_value_ids
@@ -224,6 +233,7 @@ class Index:
                 SkewPartition(
                     mphf=_mphf_from(sm, zi, f"skew_{i}"),
                     positions=z[f"skew_positions_{i}"],
+                    hindex=z[f"skew_hindex_{i}"] if sm.get("has_hindex") else None,
                 )
             )
         weights = None

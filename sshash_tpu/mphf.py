@@ -269,23 +269,36 @@ class PartitionedMPHF:
 
     @classmethod
     def build_from_hashes(cls, make_hashes, n, seed0, lmbda=LAMBDA, alpha=ALPHA,
-                          avg_partition_size=None):
+                          avg_partition_size=None, threads=1):
         P = cls.num_partitions_for(n, avg_partition_size)
         for attempt in range(16):
             seed = int(H.splitmix64(U64(seed0) + U64(attempt * 0x9E3779B9)))
             h = make_hashes(U64(seed))
             try:
-                return cls._build(h, n, seed, P, lmbda, alpha)
+                return cls._build(h, n, seed, P, lmbda, alpha, threads)
             except MPHFBuildError:
                 continue
         raise MPHFBuildError(f"partitioned MPHF build failed for n={n}")
 
     @classmethod
     def build_u64(cls, keys, seed, lmbda=LAMBDA, alpha=ALPHA,
-                  avg_partition_size=None):
+                  avg_partition_size=None, threads=1):
         keys = np.asarray(keys, dtype=U64)
         return cls.build_from_hashes(lambda s: H.hash64_u64(keys, s), len(keys),
-                                     seed, lmbda, alpha, avg_partition_size)
+                                     seed, lmbda, alpha, avg_partition_size,
+                                     threads)
+
+    @classmethod
+    def build_words(cls, words, seed, lmbda=LAMBDA, alpha=ALPHA,
+                    avg_partition_size=None, threads=1):
+        """Multi-word (kmer) keys — used by the skew index so human-scale
+        heavy size classes partition like the reference's per-partition
+        PTHash builds (build_sparse_and_skew_index.cpp:312-478). Small key
+        sets get P=1 (same partitioned eval shape, trivially)."""
+        words = np.asarray(words, dtype=U32)
+        return cls.build_from_hashes(
+            lambda s: H.hash64_words(words, s), len(words), seed, lmbda,
+            alpha, avg_partition_size, threads)
 
     @classmethod
     def incremental(cls, n, seed, P, nmax, lmbda=LAMBDA, alpha=ALPHA):
@@ -295,7 +308,7 @@ class PartitionedMPHF:
         return _PartitionedBuilder(cls, n, seed, P, nmax, lmbda, alpha)
 
     @classmethod
-    def _build(cls, h, n, seed, P, lmbda, alpha):
+    def _build(cls, h, n, seed, P, lmbda, alpha, threads=1):
         hi = (h >> U64(32)).astype(U32)
         pid = H.mulhi32(hi, U32(P)).astype(np.int64)
         order = np.argsort(pid, kind="stable")
@@ -304,8 +317,21 @@ class PartitionedMPHF:
         starts = np.concatenate([[0], np.cumsum(part_n)])
         nmax = int(part_n.max()) if P else 0
         b = cls.incremental(n, seed, P, nmax, lmbda, alpha)
-        for p in range(P):
-            b.add_partition(p, h_sorted[starts[p] : starts[p + 1]])
+        parts = [h_sorted[starts[p] : starts[p + 1]] for p in range(P)]
+        if threads > 1 and P > 1:
+            # partitions solve independently (reference builds PTHash
+            # partitions multi-threaded); commits stay ordered. Results are
+            # bit-identical to the serial build: per-partition sub-seeds
+            # don't depend on execution order.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=threads) as ex:
+                sols = list(ex.map(b.solve_partition, range(P), parts))
+            for p, sol in enumerate(sols):
+                b.commit_partition(p, sol)
+        else:
+            for p in range(P):
+                b.add_partition(p, parts[p])
         return b.finish()
 
 
@@ -327,6 +353,14 @@ class _PartitionedBuilder:
     def add_partition(self, p, hp):
         """hp: uint64 key hashes of partition p (must be called for
         p = 0..P-1 in order). Returns each key's minimal LOCAL position."""
+        return self.commit_partition(p, self.solve_partition(p, hp))
+
+    def solve_partition(self, p, hp):
+        """Pure pilot search for partition p — no shared-state writes, so
+        partitions solve CONCURRENTLY on a thread pool (the native pilot
+        search releases the GIL; reference builds partitions multi-threaded,
+        minimizers_control_map.hpp:16). Returns a solution for
+        commit_partition."""
         T, NB = self.T, self.NB
         np_p = len(hp)
         if np_p > 1 and len(np.unique(hp)) != np_p:
@@ -341,13 +375,7 @@ class _PartitionedBuilder:
                 pl, taken = _pilot_table(h2, T, NB)
             except MPHFBuildError:
                 continue
-            self.seeds[p] = sp
-            self.pilots[p * NB : (p + 1) * NB] = pl
-            ro = int(self.remap_off[p])
             rseg = _minimal_remap(np_p, T, taken)
-            self.remap[ro : ro + (T - np_p)] = rseg
-            self.remap_off[p + 1] = ro + (T - np_p)
-            self.part_n[p] = np_p
             hi2 = (h2 >> U64(32)).astype(U32)
             lo2 = (h2 & U64(0xFFFFFFFF)).astype(U32)
             bucket = H.mulhi32(hi2, U32(NB)).astype(np.int64)
@@ -357,8 +385,21 @@ class _PartitionedBuilder:
             if over.any():
                 local = np.where(over, rseg[np.where(over, local - np_p, 0)].astype(np.int64),
                                  local)
-            return local
+            return (sp, pl, rseg, np_p, local)
         raise MPHFBuildError(f"partition {p} exhausted sub-seeds")
+
+    def commit_partition(self, p, sol):
+        """Ordered bookkeeping (remap offsets are cumulative): call for
+        p = 0..P-1 in order. Returns each key's minimal LOCAL position."""
+        sp, pl, rseg, np_p, local = sol
+        T, NB = self.T, self.NB
+        self.seeds[p] = sp
+        self.pilots[p * NB : (p + 1) * NB] = pl
+        ro = int(self.remap_off[p])
+        self.remap[ro : ro + (T - np_p)] = rseg
+        self.remap_off[p + 1] = ro + (T - np_p)
+        self.part_n[p] = np_p
+        return local
 
     def finish(self):
         cum_n = np.concatenate([[0], np.cumsum(self.part_n)]).astype(U64)

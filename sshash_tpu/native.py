@@ -52,6 +52,8 @@ def _load():
             p(ctypes.c_uint8), p(i64), p(i64), i64, i64,
             p(ctypes.c_uint32), p(ctypes.c_uint32),
         ]
+        lib.sort_tuples.restype = i64
+        lib.sort_tuples.argtypes = [p(u64), p(u64), p(i64), i64, i64]
         _lib = lib
     except Exception:
         _lib = None
@@ -130,6 +132,22 @@ def tuple_scan(codes, endpoints, k, m, magic, canonical):
     )
     assert t >= 0
     return out_min[:t], out_pos[:t], out_pik[:t], out_cnt[:t]
+
+
+def sort_tuples(minimizer, pos_in_seq, nthreads):
+    """Thread-parallel stable sort permutation by (minimizer, pos_in_seq) —
+    bit-identical to np.lexsort((pos_in_seq, minimizer)) (the reference's
+    parallel_sort analog). Returns int64 index array."""
+    lib = _load()
+    assert lib is not None
+    minimizer = np.ascontiguousarray(minimizer, dtype=np.uint64)
+    pos_in_seq = np.ascontiguousarray(pos_in_seq, dtype=np.uint64)
+    idx = np.empty(len(minimizer), dtype=np.int64)
+    lib.sort_tuples(
+        _ptr(minimizer, ctypes.c_uint64), _ptr(pos_in_seq, ctypes.c_uint64),
+        _ptr(idx, ctypes.c_int64), len(minimizer), int(nthreads),
+    )
+    return idx
 
 
 def encode_stream(seq_bytes, cstarts, lens, k, words32, valid_bits):

@@ -1,3 +1,5 @@
-from .sharded import ShardedEngine, make_mesh, make_sharded_lookup
+from .sharded import (ShardedEngine, ShardedStream, make_mesh,
+                      make_sharded_lookup)
 
-__all__ = ["ShardedEngine", "make_mesh", "make_sharded_lookup"]
+__all__ = ["ShardedEngine", "ShardedStream", "make_mesh",
+           "make_sharded_lookup"]

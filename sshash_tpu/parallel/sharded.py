@@ -43,6 +43,7 @@ from ..engine import (
 )
 from ..ops import packed as Pk
 from ..ops import u64 as u
+from ..streaming import _DeviceStream, make_stream_step
 
 U32 = jnp.uint32
 I32 = jnp.int32
@@ -130,14 +131,20 @@ def _merge_pref_a(res_a, res_b, use_b, use_b_flags):
     return out
 
 
-def _branchfree_lookup(cfg, arrs, kmers32, per_shard, bucket_axis):
+def _branchfree_lookup(cfg, arrs, kmers32, per_shard, bucket_axis,
+                       per_shard_hrows=None):
     """Full lookup with RC-fallback / tie-retry as unconditionally-masked
     probes (found is only global after the cross-shard combine); codeword
-    ownership by MPHF-slot range on the bucket axis."""
+    ownership by MPHF-slot range on the bucket axis (and skew heavy rows by
+    row range when the index carries hindex)."""
     lo = jax.lax.axis_index(bucket_axis).astype(U32) * U32(per_shard)
     arrs = dict(arrs)
     arrs["cw_lo"] = lo
     arrs["cw_hi"] = lo + U32(per_shard)
+    if per_shard_hrows is not None:
+        hlo = jax.lax.axis_index(bucket_axis).astype(U32) * U32(per_shard_hrows)
+        arrs["sk_lo"] = hlo
+        arrs["sk_hi"] = hlo + U32(per_shard_hrows)
 
     B = kmers32.shape[0]
     magic = u.const64(cfg.magic)
@@ -152,16 +159,28 @@ def _branchfree_lookup(cfg, arrs, kmers32, per_shard, bucket_axis):
             tie = u.equal(mv_r, mv_f)
             mv1 = u.select(rc_first, mv_r, mv_f)
             mp1 = jnp.where(rc_first, mp_r, mp_f)
-            res1 = _combine_bucket(
-                lookup_with_info(cfg, arrs, kmers32, kmers_rc32, mv1, mp1, all_active),
-                bucket_axis)
-            # tie retry, unconditionally masked (engine.make_lookup does this
-            # under lax.cond; here found is only global after the combine)
-            res2 = _combine_bucket(
-                lookup_with_info(cfg, arrs, kmers32, kmers_rc32, mv_r, mp_r, tie),
-                bucket_axis)
-            retry = tie & ~res1["found"]
-            res = _merge_pref_a(res1, res2, retry & res2["found"], retry)
+            if (cfg.max_start_word + 1) * cfg.W <= 8:
+                # a tie probes the SAME bucket, so the reference's retry
+                # folds into two extra tie-gated position tries
+                # (engine.lookup_with_info) — one probe + one combine
+                mp2 = jnp.where(tie, mp_r, mp1)
+                res = _combine_bucket(
+                    lookup_with_info(cfg, arrs, kmers32, kmers_rc32, mv1, mp1,
+                                     all_active, minpos2=mp2),
+                    bucket_axis)
+            else:
+                # wide kmers: unconditionally-masked retry probe (the 4-try
+                # unroll blows up compile times past k~55)
+                res1 = _combine_bucket(
+                    lookup_with_info(cfg, arrs, kmers32, kmers_rc32, mv1, mp1,
+                                     all_active),
+                    bucket_axis)
+                res2 = _combine_bucket(
+                    lookup_with_info(cfg, arrs, kmers32, kmers_rc32, mv_r,
+                                     mp_r, tie),
+                    bucket_axis)
+                retry = tie & ~res1["found"]
+                res = _merge_pref_a(res1, res2, retry & res2["found"], retry)
         else:
             mv, mp = Pk.compute_minimizer(kmers32, cfg.k, cfg.m, magic)
             res1 = _combine_bucket(
@@ -184,11 +203,13 @@ def _branchfree_lookup(cfg, arrs, kmers32, per_shard, bucket_axis):
     return res
 
 
-def make_sharded_lookup(cfg, per_shard, data_axis="data", bucket_axis="bucket"):
+def make_sharded_lookup(cfg, per_shard, data_axis="data", bucket_axis="bucket",
+                        per_shard_hrows=None):
     """Branch-free multi-shard lookup body (to be wrapped in shard_map)."""
 
     def body(arrs, kmers32):
-        res = _branchfree_lookup(cfg, arrs, kmers32, per_shard, bucket_axis)
+        res = _branchfree_lookup(cfg, arrs, kmers32, per_shard, bucket_axis,
+                                 per_shard_hrows)
         # per-step report, psum'd over the data axis (SURVEY.md §2.5: the
         # streaming_query_report counters merge via psum)
         B = kmers32.shape[0]
@@ -201,8 +222,86 @@ def make_sharded_lookup(cfg, per_shard, data_axis="data", bucket_axis="bucket"):
     return body
 
 
+def make_sharded_access(cfg, per_blk, per_sw, kc_len, data_axis="data",
+                        bucket_axis="bucket"):
+    """Sharded access(id) -> packed kmer: the id-block owner resolves the
+    char offset from its sidk32/kmer_cum range, broadcasts it (pmin), and
+    the char-range owner reads the kmer from its strings slice (haloed) —
+    2 combines, everything else local (reference access,
+    spectrum_preserving_string_set.hpp:114-118)."""
+    C = cfg.access_C
+    k = cfg.k
+
+    def body(arrs, ids):
+        j = jax.lax.axis_index(bucket_axis).astype(I32)
+        blk = (ids >> U32(5)).astype(I32)
+        blo = j * I32(per_blk)
+        own_id = (blk >= blo) & (blk < blo + I32(per_blk))
+        hint = jnp.take(arrs["sidk32"],
+                        jnp.where(own_id, blk - blo, 0), mode="clip").astype(I32)
+        kc_base = arrs["acc_kc_base"][0].astype(I32)
+        lidx = jnp.clip(hint - kc_base, 0, I32(kc_len - 1))
+        kc = jnp.take(arrs["kmer_cum"],
+                      lidx[:, None] + jnp.arange(1, C + 1, dtype=I32)[None, :],
+                      mode="clip")
+        cross = jnp.zeros_like(hint)
+        for c in range(C):
+            cross = cross + (ids >= kc[:, c]).astype(I32)
+        sid = hint + cross
+        off = ids + sid.astype(U32) * U32(k - 1)
+        off = jnp.where(own_id, off, U32(0xFFFFFFFF))
+        off = jax.lax.pmin(off, bucket_axis)
+        # char-range owner reads
+        widx = (off >> U32(4)).astype(I32)
+        wlo = j * I32(per_sw)
+        own_c = (widx >= wlo) & (widx < wlo + I32(per_sw)) & (off != U32(0xFFFFFFFF))
+        local_off = jnp.where(own_c, off - (wlo * 16).astype(U32), U32(0))
+        km = Pk.read_kmers_at(arrs["strings32"], local_off, k)
+        km = jnp.where(own_c[:, None], km, U32(0))
+        return jax.lax.pmax(km, bucket_axis)
+
+    return body
+
+
+def make_sharded_weight(cfg, data_axis="data", bucket_axis="bucket"):
+    """Sharded weight(id): interval endpoints shard by range; the covering
+    shard searches locally and the value combines with pmax (reference
+    weights.hpp:147-152)."""
+
+    def body(arrs, ids):
+        epl = arrs["w_endpoints"]
+        own = (ids >= epl[0]) & (ids < epl[-1])
+        i = jnp.searchsorted(epl, ids, side="right").astype(I32) - 1
+        vid = jnp.take(arrs["w_value_ids"], jnp.clip(i, 0, len(arrs["w_value_ids"]) - 1), mode="clip")
+        w = jnp.take(arrs["w_dictionary"], vid.astype(I32), mode="clip")
+        w = jnp.where(own, w, U32(0))
+        return jax.lax.pmax(w, bucket_axis)
+
+    return body
+
+
+def make_sharded_neighbours(cfg, per_shard, data_axis="data",
+                            bucket_axis="bucket", per_shard_hrows=None):
+    """Batched navigation on the mesh: the 8 neighbour variants ride one
+    branch-free sharded lookup (reference src/dictionary.cpp:112-128)."""
+
+    def body(arrs, kmers32):
+        Bl = kmers32.shape[0]
+        k = cfg.k
+        fwd = Pk.drop_one_char(kmers32)
+        bwd = Pk.shift_up_one_char(kmers32, k)
+        allk = jnp.concatenate(
+            [Pk.set_char(fwd, k - 1, c) for c in range(4)]
+            + [Pk.set_char(bwd, 0, c) for c in range(4)], axis=0)
+        res = _branchfree_lookup(cfg, arrs, allk, per_shard, bucket_axis,
+                                 per_shard_hrows)
+        return {key: v.reshape(8, Bl).T for key, v in res.items()}
+
+    return body
+
+
 def make_sharded_stream(cfg, per_shard, data_axis="data", bucket_axis="bucket",
-                        data_size=1):
+                        data_size=1, per_shard_hrows=None):
     """One sharded streaming step: per-position lookups over reads sharded
     on the data axis, report counters derived on device (see streaming.py's
     adjacency rules) and psum'd over the mesh. Chains crossing a data-shard
@@ -210,7 +309,8 @@ def make_sharded_stream(cfg, per_shard, data_axis="data", bucket_axis="bucket",
     state — reads need NOT align with shard boundaries."""
 
     def body(arrs, kmers32, valid, first):
-        res = _branchfree_lookup(cfg, arrs, kmers32, per_shard, bucket_axis)
+        res = _branchfree_lookup(cfg, arrs, kmers32, per_shard, bucket_axis,
+                                 per_shard_hrows)
         found = res["found"] & valid
         sid = res["string_id"]
         kid = res["kmer_id"]
@@ -246,6 +346,125 @@ def make_sharded_stream(cfg, per_shard, data_axis="data", bucket_axis="bucket",
         }
 
     return body
+
+
+class _ChunkRow:
+    """Deferred handle to one data-shard row of a stacked stream-step output
+    (resolves after the group dispatch; consumed by _DeviceStream._fold)."""
+
+    __slots__ = ("value",)
+
+    def __init__(self):
+        self.value = None
+
+    def __array__(self, dtype=None, copy=None):
+        assert self.value is not None, "stream group was never dispatched"
+        arr, i = self.value
+        out = np.asarray(arr)[i]
+        return out.astype(dtype) if dtype is not None else out
+
+
+class ShardedStream(_DeviceStream):
+    """Packed sharded streaming: the anchored seed-and-extend step
+    (streaming.make_stream_step) runs as data_size independent chunk
+    pipelines — one per data-axis row — with BUCKET-sharded lookups inside
+    (the same _branchfree_lookup as point queries) and string-chain reads
+    answered by the char-range owner (pmax over the bucket axis). Uploads
+    are 2-bit packed chars (0.25 B/char), NOT host-expanded kmers — the
+    multi-chip throughput path SURVEY §2.5 promises.
+
+    Host-side chunking, segment splitting, counter folding and the
+    cross-chunk carry stitch are inherited from streaming._DeviceStream;
+    chunks fold in stream order, so consecutive chunks may land on
+    different data shards. Single-controller only (the stacked output rows
+    must all be addressable)."""
+
+    def __init__(self, engine, pmax=1 << 18, rmax_shift=4):
+        import jax.numpy as jnp
+
+        self.engine = engine
+        self.eng = engine
+        cfg = engine.cfg
+        self._init_host(cfg.k, pmax, rmax_shift)
+        self._no_ladder = True  # one compiled stacked shape
+        data_axis, bucket_axis = engine.mesh.axis_names
+        self.D = engine.mesh.shape[data_axis]
+        self._slots = []
+        self._jnp = jnp
+
+        per_sw = engine.per_shard_swords
+        per_shard = engine.per_shard
+        per_shard_hrows = engine.per_shard_hrows
+
+        def lookup_fn(a, km):
+            return _branchfree_lookup(cfg, a, km, per_shard, bucket_axis,
+                                      per_shard_hrows)
+
+        def swin(a, base, win16):
+            j = jax.lax.axis_index(bucket_axis).astype(U32)
+            wlo = j * U32(per_sw)
+            w0 = base >> U32(4)
+            own = (w0 >= wlo) & (w0 < wlo + U32(per_sw))
+            local = jnp.where(own, base - wlo * U32(16), U32(0))
+            w = win16(a["strings32"], local)
+            return jax.lax.pmax(jnp.where(own, w, U32(0)), bucket_axis)
+
+        key = ("sharded_stream", self.P, self.R)
+        cache = getattr(engine, "_stream_steps", None)
+        if cache is None:
+            cache = engine._stream_steps = {}
+        if key in cache:
+            self._stacked = cache[key]
+            return
+        body = make_stream_step(cfg, lookup_fn, self.P, self.R, swin=swin)
+
+        def wrapped(a, w, rn, rf, vb, cnt, nr):
+            return body(a, w[0], rn[0], rf[0], vb[0], cnt[0], nr[0])[None]
+
+        self._stacked = cache[key] = jax.jit(shard_map(
+            wrapped, mesh=engine.mesh,
+            in_specs=(engine._in_specs, P(data_axis, None), P(data_axis, None),
+                      P(data_axis, None), P(data_axis, None), P(data_axis),
+                      P(data_axis)),
+            out_specs=P(data_axis, None, None), check_vma=False))
+
+    # _DeviceStream.flush calls this with device-ready args; buffer a slot
+    # per chunk and dispatch when every data shard has one
+    def _step(self, arrs, words32, rnpos, rfirst, valid_bits, count, nreads):
+        h = _ChunkRow()
+        self._slots.append((np.asarray(words32), np.asarray(rnpos),
+                            np.asarray(rfirst), np.asarray(valid_bits),
+                            int(count), int(nreads), h))
+        if len(self._slots) == self.D:
+            self._dispatch()
+        return h
+
+    def _dispatch(self):
+        import jax.numpy as jnp
+
+        if not self._slots:
+            return
+        slots = self._slots
+        self._slots = []
+        pad = self.D - len(slots)
+        z = (np.zeros_like(slots[0][0]), np.zeros_like(slots[0][1]),
+             np.zeros_like(slots[0][2]), np.zeros_like(slots[0][3]), 0, 0,
+             _ChunkRow())
+        slots = slots + [z] * pad
+        stk = [np.stack([s[i] for s in slots]) for i in range(4)]
+        cnt = np.array([s[4] for s in slots], dtype=np.uint32)
+        nr = np.array([s[5] for s in slots], dtype=np.uint32)
+        out = self._stacked(self.eng.arrs, jnp.asarray(stk[0]),
+                            jnp.asarray(stk[1]), jnp.asarray(stk[2]),
+                            jnp.asarray(stk[3]), jnp.asarray(cnt),
+                            jnp.asarray(nr))
+        for i, s in enumerate(slots):
+            s[6].value = (out, i)
+
+    def finalize(self):
+        self.flush()
+        self._dispatch()  # partial last group
+        return super().finalize()
 
 
 class ShardedEngine:
@@ -295,8 +514,10 @@ class ShardedEngine:
         # begin can appear at several slots — sizes must come from the UNIQUE
         # sorted begins (a plain diff over sorted begins would hand one
         # duplicate size 0 and silently drop a whole bucket; advisor r2).
+        # hindex-mode indexes (>= v1.2) skip all this: heavy lanes resolve
+        # through sk_hrows, itself sharded by row range below.
         glob_heavy = host["heavy_rows"]
-        heavy_any = (status == 2).any()
+        heavy_any = (status == 2).any() and not self.cfg.skew_hrows
         if heavy_any:
             hv_all = np.flatnonzero(status == 2)
             hb = cw_a[hv_all].astype(np.int64)
@@ -326,15 +547,84 @@ class ShardedEngine:
         host["heavy_rows"] = np.concatenate([
             np.pad(s, ((0, heavy_len - len(s)), (0, 0))) for s in shard_heavies])
 
+        # skew heavy rows (hindex mode): slot-keyed fused rows shard by
+        # contiguous row range; the MINIMIZER owner broadcasts the row index
+        # over the bucket axis (see engine.lookup_with_info)
+        self.per_shard_hrows = None
+        if self.cfg.skew_hrows and "sk_hrows" in host:
+            hr = host["sk_hrows"]
+            per_hr = max(1, -(-len(hr) // nb))
+            padded_hr = np.zeros((per_hr * nb, hr.shape[1]), hr.dtype)
+            padded_hr[: len(hr)] = hr
+            host["sk_hrows"] = padded_hr
+            self.per_shard_hrows = per_hr
+            self.cfg.bucket_axis = bucket_axis
+
+        # ---- strings + id-resolve + weight tables shard by contiguous
+        # ranges on the bucket axis too (the LOOKUP path no longer touches
+        # them — fused rows carry windows and resolve quads — so they only
+        # serve access / chain reads, each routed to its range owner)
+        s32 = host["strings32"]
+        halo = self.cfg.W + 1  # a k-char read spans <= W+1 words
+        per_sw = max(1, -(-len(s32) // nb))
+        sw = np.zeros((nb, per_sw + halo), s32.dtype)
+        for j in range(nb):
+            seg = s32[j * per_sw : j * per_sw + per_sw + halo]
+            sw[j, : len(seg)] = seg
+        host["strings32"] = sw.reshape(-1)
+        self.per_shard_swords = per_sw
+
+        sidk = host["sidk32"]
+        per_blk = max(1, -(-len(sidk) // nb))
+        host["sidk32"] = np.pad(sidk, (0, per_blk * nb - len(sidk)))
+        kc = host["kmer_cum"]
+        C = self.cfg.access_C
+        kc_lo = np.zeros(nb, dtype=np.int64)
+        kc_sl = []
+        for j in range(nb):
+            blk = sidk[j * per_blk : (j + 1) * per_blk]
+            lo = int(blk[0]) if len(blk) else 0
+            hi = min(len(kc), (int(blk[-1]) if len(blk) else 0) + C + 2)
+            kc_lo[j] = lo
+            kc_sl.append(kc[lo:hi])
+        kc_len = max(1, max(len(s) for s in kc_sl))
+        host["kmer_cum"] = np.concatenate(
+            [np.pad(s, (0, kc_len - len(s))) for s in kc_sl])
+        host["acc_kc_base"] = kc_lo.astype(np.uint32)
+        self.per_shard_blocks = per_blk
+        self.kc_len = kc_len
+
+        self.weighted = "w_endpoints" in host
+        if self.weighted:
+            ep = host["w_endpoints"]
+            I = len(ep) - 1
+            per_iv = max(1, -(-I // nb))
+            eps, vids = [], []
+            for j in range(nb):
+                lo, hi = j * per_iv, min(I, (j + 1) * per_iv)
+                e = ep[lo : hi + 1] if hi > lo else np.array([ep[-1]], ep.dtype)
+                v = host["w_value_ids"][lo:hi]
+                eps.append(np.pad(e, (0, per_iv + 1 - len(e)),
+                                  constant_values=ep[-1]))
+                vids.append(np.pad(v, (0, per_iv - len(v))))
+            host["w_endpoints"] = np.concatenate(eps)
+            host["w_value_ids"] = np.concatenate(vids)
+
         in_specs = {}
         self.arrs = {}
-        sharded_keys = _CW_KEYS + ("mid_rows", "heavy_rows")
+        sharded_keys = _CW_KEYS + ("mid_rows", "heavy_rows", "strings32",
+                                   "sidk32", "kmer_cum", "acc_kc_base",
+                                   "w_endpoints", "w_value_ids")
+        if self.per_shard_hrows is not None:
+            sharded_keys = sharded_keys + ("sk_hrows",)
         for key, arr in host.items():
             spec = P(bucket_axis) if key in sharded_keys else P()
             in_specs[key] = spec
             self.arrs[key] = _put_global(arr, NamedSharding(self.mesh, spec))
 
-        body = make_sharded_lookup(self.cfg, per_shard, data_axis, bucket_axis)
+        self._in_specs = in_specs
+        body = make_sharded_lookup(self.cfg, per_shard, data_axis, bucket_axis,
+                                   self.per_shard_hrows)
         res_spec = {k2: P(data_axis) for k2 in list(_empty_res(1)) + ["found"]}
         rep_spec = {"num_kmers": P(), "num_positive": P()}
         self._lookup = jax.jit(
@@ -348,7 +638,8 @@ class ShardedEngine:
         )
         stream_body = make_sharded_stream(self.cfg, per_shard, data_axis,
                                           bucket_axis,
-                                          data_size=self.mesh.shape[data_axis])
+                                          data_size=self.mesh.shape[data_axis],
+                                          per_shard_hrows=self.per_shard_hrows)
         cnt_spec = {k2: P() for k2 in ("num_kmers", "num_positive_kmers",
                                        "num_extensions", "num_searches",
                                        "num_invalid_kmers", "num_negative_kmers")}
@@ -361,6 +652,26 @@ class ShardedEngine:
                 check_vma=False,
             )
         )
+        acc_body = make_sharded_access(self.cfg, per_blk, per_sw, kc_len,
+                                       data_axis, bucket_axis)
+        self._access = jax.jit(shard_map(
+            acc_body, mesh=self.mesh,
+            in_specs=(in_specs, P(data_axis)),
+            out_specs=P(data_axis, None), check_vma=False))
+        nb_body = make_sharded_neighbours(self.cfg, per_shard, data_axis,
+                                          bucket_axis, self.per_shard_hrows)
+        nb_spec = {k2: P(data_axis, None)
+                   for k2 in list(_empty_res(1)) + ["found"]}
+        self._neighbours = jax.jit(shard_map(
+            nb_body, mesh=self.mesh,
+            in_specs=(in_specs, P(data_axis, None)),
+            out_specs=nb_spec, check_vma=False))
+        if self.weighted:
+            w_body = make_sharded_weight(self.cfg, data_axis, bucket_axis)
+            self._weight = jax.jit(shard_map(
+                w_body, mesh=self.mesh,
+                in_specs=(in_specs, P(data_axis)),
+                out_specs=P(data_axis), check_vma=False))
         self._kmer_sharding = NamedSharding(self.mesh, P(data_axis, None))
         self._flag_sharding = NamedSharding(self.mesh, P(data_axis))
         self._batch_multiple = self.mesh.shape[data_axis]
@@ -421,6 +732,48 @@ class ShardedEngine:
         res = {key: v[:n] for key, v in res.items()}
         return _to_host_result(res), report
 
+
+    def _pad_batch(self, arr, fill=0):
+        n = len(arr)
+        pad = (-n) % self._batch_multiple
+        if pad:
+            arr = np.concatenate([arr, np.full((pad,) + arr.shape[1:], fill,
+                                               dtype=arr.dtype)])
+        return arr, n
+
+    def access(self, ids):
+        """ids -> packed uint64 kmers, resolved and read across the mesh."""
+        ids32, n = self._pad_batch(np.asarray(ids, dtype=np.uint32))
+        dev = jax.device_put(jnp.asarray(ids32), self._flag_sharding)
+        out32 = np.asarray(self._access(self.arrs, dev))[:n]
+        return K.u32_to_kmers64(out32, self.cfg.k)
+
+    def weight(self, ids):
+        assert self.weighted, "index built without weights"
+        ids32, n = self._pad_batch(np.asarray(ids, dtype=np.uint32))
+        dev = jax.device_put(jnp.asarray(ids32), self._flag_sharding)
+        return np.asarray(self._weight(self.arrs, dev))[:n].astype(np.uint64)
+
+    def kmer_neighbours(self, kmers64):
+        """dict of (B, 8) arrays, columns 0-3 forward A,C,T,G then 4-7
+        backward (reference neighbourhood<kmer_t>, util.hpp:77-81)."""
+        from ..constants import INVALID_UINT64
+
+        kmers64 = np.atleast_2d(np.asarray(kmers64, dtype=np.uint64))
+        k32, n = self._pad_batch(K.kmers_to_u32(kmers64, self.cfg.k))
+        dev = jax.device_put(jnp.asarray(k32), self._kmer_sharding)
+        res = jax.tree.map(np.asarray, self._neighbours(self.arrs, dev))
+        found = res.pop("found")[:n]
+        out = {}
+        for key, v in res.items():
+            v = v[:n]
+            if v.dtype == np.uint32:
+                v64 = v.astype(np.uint64)
+                v64[~found] = np.uint64(INVALID_UINT64)
+                out[key] = v64
+            else:
+                out[key] = v
+        return out
 
     def stream_report(self, kmers64, valid, first):
         """One sharded streaming step over per-position kmers of a read

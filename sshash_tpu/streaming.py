@@ -234,6 +234,287 @@ def _host_lookup(index):
     return fn
 
 
+def make_stream_step(cfg, lookup, P_, R_, swin=None):
+    """Build the per-chunk anchored seed-and-extend streaming step
+    (jit-ready). Parameterized so the sharded engine can reuse it:
+
+      lookup(arrs, kmers32) -> engine result dict (full fields + found)
+      swin(arrs, base, win16) -> one aligned uint32 holding 16 string chars
+        per anchor (defaults to a plain local strings32 read; the sharded
+        engine passes an owner-masked read combined over the bucket axis)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    I32 = jnp.int32
+    U32j = jnp.uint32
+    S = 16  # anchor stride: 1 full lookup per S positions on hit-dense data
+    A = P_ // S
+    FWD = 1
+    if swin is None:
+        def swin(arrs, base, win16):
+            return win16(arrs["strings32"], base)
+
+    def step(arrs, words32, rnpos, rfirst_bits, valid_bits, count, nreads):
+        """Anchored seed-and-extend (the batched analog of the reference
+        extension cache, streaming_query.hpp:86-100): full lookups only at
+        every S-th position; the S-1 followers of a found anchor resolve
+        with ONE string-char comparison each (chain prefix-AND per row);
+        broken chains fall back to compacted full lookups."""
+        from .ops import packed as Pk
+        from .ops import u64 as u
+
+        lane = jnp.arange(P_, dtype=I32)
+        # lane -> segment mapping WITHOUT full-width scatters: segment
+        # starts scatter into a P/32-bit mask (R-sized op), and the char
+        # position is AFFINE in the segment index because segments are
+        # concatenated contiguously: cstart[r] = pstart[r] + r*(k-1).
+        pstart = jnp.cumsum(rnpos) - rnpos
+        valid_r = jnp.arange(R_, dtype=I32) < nreads
+        pbit = U32j(1) << (pstart & U32j(31))
+        sbits = jnp.zeros((P_ // 32 + 1,), dtype=U32j).at[
+            jnp.where(valid_r, (pstart >> 5).astype(I32), P_)].add(
+            pbit, mode="drop")
+        rr = jnp.arange(R_, dtype=I32)
+        ris_first = ((jnp.take(rfirst_bits, rr >> 5, mode="clip")
+                      >> (rr & 31)) & 1) != 0
+        fbits = jnp.zeros((P_ // 32 + 1,), dtype=U32j).at[
+            jnp.where(valid_r & ris_first, (pstart >> 5).astype(I32),
+                      P_)].add(pbit, mode="drop")
+        # groups of S=16 lanes: every per-lane mask is a HALFWORD of its
+        # bit array, so all (S, A) masks come from A-wide extractions —
+        # no full-width bit expands on the fast path
+        g = jnp.arange(A, dtype=I32)
+        t = jnp.arange(S, dtype=U32j)[:, None]  # (S, 1)
+
+        def halves(bits):
+            w = jnp.take(bits, g >> 1, mode="clip")
+            return (w >> ((g & 1) * 16).astype(U32j)) & U32j(0xFFFF)
+
+        vhalf = halves(valid_bits)
+        fhalf = halves(fbits)
+        shalf = halves(sbits)
+        vg = ((vhalf[None, :] >> t) & 1) != 0  # (S, A) valid
+        fg = ((fhalf[None, :] >> t) & 1) != 0  # read starts
+        sg = ((shalf[None, :] >> t) & 1) != 0  # segment starts
+
+        def pc16(v):
+            v = v - ((v >> 1) & U32j(0x5555))
+            v = (v & U32j(0x3333)) + ((v >> 2) & U32j(0x3333))
+            v = (v + (v >> 4)) & U32j(0x0F0F)
+            return (v + (v >> 8)) & U32j(0x1F)
+
+        # r at each anchor lane from group popcounts (A-wide cumsum)
+        pch = pc16(shalf).astype(I32)
+        cum_g = jnp.cumsum(pch) - pch
+        r_a = cum_g + (shalf & 1).astype(I32) - 1
+        apos = (16 * g + r_a * (cfg.k - 1)).astype(U32j)
+
+        # ---- phase 1: anchor lookups (A = P/S lanes)
+        ares = lookup(arrs, Pk.read_kmers_at(words32, apos, cfg.k))
+        afound = ares["found"] & vg[0]
+        aoff = ares["kmer_offset"]
+        asid = ares["string_id"]
+        akid = ares["kmer_id"]
+        aorient = ares["kmer_orientation"]  # (A,) i32
+        fwd_a = aorient == FWD
+        sgn_a = jnp.where(fwd_a, U32j(1), U32j(0xFFFFFFFF))  # +-1 mod 2^32
+
+        # ---- phase 2: chain extension. A chain's S string chars and S
+        # read chars are CONSECUTIVE, so each anchor fetches ONE aligned
+        # 2-word window per source (A-wide gathers) and the per-follower
+        # compares are pure VPU in (S, A) layout. The in-string test
+        # uses the anchor's string bounds (streaming_query.hpp:182-197).
+        k1 = U32j(cfg.k - 1)
+
+        def win16(words, base):
+            """chars [base, base+16) as one aligned uint32 per anchor."""
+            w0i = (base >> 4).astype(I32)
+            w0 = jnp.take(words, w0i, mode="clip")
+            w1 = jnp.take(words, w0i + 1, mode="clip")
+            sh = (base & U32j(15)) * 2
+            nz = sh != 0
+            return (w0 >> sh) | jnp.where(nz, w1 << ((U32j(32) - sh) & U32j(31)), U32j(0))
+
+        base_s = jnp.where(fwd_a, aoff + k1,
+                           aoff - jnp.minimum(aoff, U32j(S - 1)))
+        saw = swin(arrs, base_s, win16)
+        raw = win16(words32, apos + k1)
+
+        og = jnp.where(fwd_a[None, :], aoff[None, :] + t, aoff[None, :] - t)
+        under = (~fwd_a)[None, :] & (aoff[None, :] < t)
+        idx_s = jnp.where(fwd_a[None, :], t, og - base_s[None, :])
+        schar = (saw[None, :] >> ((idx_s & U32j(15)) * 2)) & 3
+        rchar = (raw[None, :] >> (t * 2)) & 3
+        charok = jnp.where(fwd_a[None, :], schar == rchar,
+                           schar == (rchar ^ U32j(2)))
+        asb = ares["string_begin"][None, :]
+        ase = ares["string_end"][None, :]
+        instr = (og >= asb) & ((og + U32j(cfg.k)) <= ase)
+        cond = vg & ~fg & ~sg & charok & instr & ~under
+        cond = cond.at[0, :].set(afound)
+        matched = jnp.cumprod(cond.astype(I32), axis=0) > 0  # (S, A)
+        miss = vg & ~matched
+        # fallback window width: small enough that high-hit chunks (few
+        # misses) do one cheap masked lookup, big enough that low-hit
+        # chunks don't loop excessively (while_loop iterations are
+        # dispatch-free on device)
+        Wp = max(4096, P_ // 64)
+
+        def derive_fast(_):
+            """No fallback needed (every valid position chained): all
+            counters derive from the (S, A) matrices + anchor arrays."""
+            n_valid = vg.sum().astype(U32j)
+            n_pos = n_valid  # matched == vg here
+            ext_in = matched[1:, :].sum().astype(U32j)
+            prev_ok = jnp.concatenate([jnp.zeros(1, bool), matched[S - 1, :-1]])
+            extg = (matched[0] & prev_ok & ~((fhalf & 1) != 0)
+                    & ~((shalf & 1) != 0)
+                    & (asid == jnp.roll(asid, 1))
+                    & (aorient == jnp.roll(aorient, 1))
+                    & (akid == jnp.roll(akid, 1)
+                       + jnp.roll(sgn_a, 1) * U32j(S)))
+            n_ext = ext_in + extg.sum().astype(U32j)
+            n_inv = count.astype(U32j) - n_valid
+            last = jnp.clip(count.astype(I32) - 1, 0, P_ - 1)
+            gl = last // S
+            tl = (last % S).astype(U32j)
+            fl = jnp.take(matched.reshape(-1), (last % S) * A + gl) != 0
+            counters = jnp.stack([count.astype(U32j), n_pos, n_ext, n_inv])
+            lane0 = jnp.stack([matched[0, 0].astype(U32j), asid[0], akid[0],
+                               aorient[0].astype(U32j)])
+            lastv = jnp.stack([
+                fl.astype(U32j), jnp.take(asid, gl),
+                jnp.take(akid, gl) + jnp.take(sgn_a, gl) * tl,
+                jnp.take(aorient, gl).astype(U32j)])
+            return jnp.stack([counters, lane0, lastv])
+
+        def derive_full(_):
+            """Some positions missed their chain: build per-lane arrays,
+            run the fallback searches (with the negative-minimizer-run
+            skip, reference streaming_query.hpp:150-157), then derive
+            counters from per-lane adjacency."""
+            found_l = matched.T.reshape(P_)
+            sid_l = jnp.broadcast_to(asid[:, None], (A, S)).reshape(P_)
+            kid_l = (akid[None, :] + sgn_a[None, :] * t).T.reshape(P_)
+            ori_l = jnp.broadcast_to(aorient[:, None], (A, S)).reshape(P_)
+            valid = vg.T.reshape(P_)
+            first = fg.T.reshape(P_)
+            sb = ((sbits[lane >> 5] >> (lane & 31).astype(U32j)) & 1) != 0
+            sb_i = sb.astype(I32)
+            r = Pk.prefix_sum_ex(sb_i) + sb_i - 1
+            pos = (lane + r * (cfg.k - 1)).astype(U32j)
+            need = valid & ~found_l
+            n_need = need.sum()
+
+            def heads_runskip(_):
+                """Negative-minimizer-run skip (streaming_query.hpp:
+                150-157): only worth the per-char hashing when misses
+                are NUMEROUS (low-hit chunks)."""
+                w_ = cfg.k - cfg.m + 1
+                h_f, h_r = Pk.char_mmer_hashes(words32, words32.shape[0] * 16,
+                                               cfg.m, u.const64(cfg.magic))
+                mh_f = Pk.sliding_min_u64(h_f, w_)
+                mh_r = Pk.sliding_min_u64(h_r, w_)
+                pmh_f = u.u64(jnp.take(mh_f.hi, pos.astype(I32), mode="clip"),
+                              jnp.take(mh_f.lo, pos.astype(I32), mode="clip"))
+                pmh_r = u.u64(jnp.take(mh_r.hi, pos.astype(I32), mode="clip"),
+                              jnp.take(mh_r.lo, pos.astype(I32), mode="clip"))
+
+                def prev64(v):
+                    return u.u64(jnp.roll(v.hi, 1).at[0].set(0xFFFFFFFF),
+                                 jnp.roll(v.lo, 1).at[0].set(0xFFFFFFFF))
+
+                same_pair = (u.equal(pmh_f, prev64(pmh_f))
+                             & u.equal(pmh_r, prev64(pmh_r)) & ~first)
+                prev_need = jnp.roll(need, 1).at[0].set(False)
+                return need & ~(prev_need & same_pair)
+
+            head = jax.lax.cond(n_need > P_ // 64, heads_runskip,
+                                lambda _: need, jnp.int32(0))
+
+            # per-lane run-head lane index (segmented broadcast)
+            head_i = head.astype(I32)
+            seg = Pk.prefix_sum_ex(head_i) + head_i - 1
+            nheads = seg[-1] + 1
+            head_mf = jnp.zeros((P_,), dtype=bool)  # per-HEAD-rank mf
+
+            def run_windows(sel, nsel, carry, record_mf):
+                """Compacted full lookups over `sel` lanes."""
+                found_l, sid_l, kid_l, ori_l, head_mf = carry
+                rank = Pk.prefix_sum_ex(sel.astype(I32))
+                lids = jnp.zeros((P_,), dtype=I32).at[
+                    jnp.where(sel, rank, P_)].set(lane, mode="drop")
+
+                def wbody(w, carry):
+                    found_l, sid_l, kid_l, ori_l, head_mf = carry
+                    slot = w * Wp + jnp.arange(Wp, dtype=I32)
+                    lid = jnp.take(lids, jnp.clip(slot, 0, P_ - 1), mode="clip")
+                    ok = slot < nsel
+                    lp = jnp.take(pos, lid, mode="clip")
+                    km = Pk.read_kmers_at(words32, jnp.where(ok, lp, U32j(0)), cfg.k)
+                    r2 = lookup(arrs, km)
+                    f2 = r2["found"] & ok
+                    tgt = jnp.where(f2, lid, P_)
+                    found_l = found_l.at[tgt].set(True, mode="drop")
+                    sid_l = sid_l.at[tgt].set(r2["string_id"], mode="drop")
+                    kid_l = kid_l.at[tgt].set(r2["kmer_id"], mode="drop")
+                    ori_l = ori_l.at[tgt].set(r2["kmer_orientation"], mode="drop")
+                    if record_mf:
+                        # store minimizer_found per head RANK
+                        hrank = jnp.take(seg, jnp.clip(lid, 0, P_ - 1), mode="clip")
+                        head_mf = head_mf.at[jnp.where(ok, hrank, P_)].set(
+                            r2["minimizer_found"] | f2, mode="drop")
+                    return found_l, sid_l, kid_l, ori_l, head_mf
+
+                nw = (nsel + Wp - 1) // Wp
+                _, out = jax.lax.while_loop(
+                    lambda c: c[0] < nw,
+                    lambda c: (c[0] + 1, wbody(c[0], c[1])),
+                    (jnp.int32(0), carry))
+                return out
+
+            carry5 = (found_l, sid_l, kid_l, ori_l, head_mf)
+            carry5 = run_windows(head, nheads, carry5, record_mf=True)
+            found_l, sid_l, kid_l, ori_l, head_mf = carry5
+
+            # skip non-head run members whose head proved the minimizer
+            # pair absent; the rest (head found or minimizer present)
+            # round 2
+            my_mf = jnp.take(head_mf, jnp.clip(seg, 0, P_ - 1), mode="clip")
+            round2 = need & ~head & my_mf
+            n2 = round2.sum()
+            carry5 = run_windows(round2, n2, carry5, record_mf=False)
+            found_l, sid_l, kid_l, ori_l, _ = carry5
+
+            # per-lane counter derivation (see module docstring)
+            found = found_l & valid
+            pf = jnp.roll(found, 1).at[0].set(False)
+            ext = (found & pf & ~first
+                   & (sid_l == jnp.roll(sid_l, 1))
+                   & (ori_l == jnp.roll(ori_l, 1))
+                   & (kid_l == jnp.roll(kid_l, 1) + jnp.roll(ori_l, 1).astype(U32j)))
+            n_pos = found.sum().astype(U32j)
+            n_ext = ext.sum().astype(U32j)
+            n_inv = count.astype(U32j) - valid.sum().astype(U32j)
+            last = jnp.clip(count.astype(I32) - 1, 0, P_ - 1)
+            counters = jnp.stack([count.astype(U32j), n_pos, n_ext, n_inv])
+            lane0 = jnp.stack([found[0].astype(U32j), sid_l[0], kid_l[0],
+                               ori_l[0].astype(U32j)])
+            lastv = jnp.stack([jnp.take(found, last).astype(U32j),
+                               jnp.take(sid_l, last), jnp.take(kid_l, last),
+                               jnp.take(ori_l, last).astype(U32j)])
+            return jnp.stack([counters, lane0, lastv])
+
+        # one (3, 4) output array: the host folds a chunk with a SINGLE
+        # round trip (3 separate fetches cost ~40ms each on slow links)
+        return jax.lax.cond(miss.any(), derive_full, derive_fast,
+                            jnp.int32(0))
+
+
+    return step
+
+
 class _DeviceStream:
     """TPU streaming pipeline. Per chunk, uploads only the 2-bit PACKED read
     chars + tiny per-read metadata (host<->device links can be slow; the
@@ -248,9 +529,31 @@ class _DeviceStream:
         from .engine import make_lookup
 
         self.engine = engine
+        self._init_host(k, pmax, rmax_shift)
+        cfg = engine.cfg
+        # one compiled step per (engine, P, R): cache on the engine
+        cache = getattr(engine, "_stream_steps", None)
+        if cache is None:
+            cache = engine._stream_steps = {}
+        if (self.P, self.R) in cache:
+            self._step = cache[(self.P, self.R)]
+            self._jnp = jnp
+            return
+        self._step = cache[(self.P, self.R)] = jax.jit(
+            make_stream_step(cfg, make_lookup(cfg), self.P, self.R))
+        self._jnp = jnp
+
+    def _init_host(self, k, pmax, rmax_shift):
+        """Host-side chunking state (shared with parallel.ShardedStream)."""
         self.k = k
         self.P = pmax
-        self.R = pmax >> rmax_shift  # max reads (segments) per chunk
+        # max reads (segments) per chunk. This sizes the uploaded rnpos
+        # array AND the char-buffer slack, so it dominates per-chunk upload
+        # bytes on slow links: short-read workloads need R ~ P/16; long-read
+        # (multiline genome) workloads only a handful of segments — callers
+        # pass rmax_shift=12 there (streaming_query_from_file does).
+        self.rmax_shift = rmax_shift
+        self.R = max(16, pmax >> rmax_shift)
         # char-buffer budget in u32 words (16 chars each). Deliberately ~half
         # the absolute worst case (P + R*(k-1) chars) to keep uploads small —
         # in practice reads are long so few segments pay the k-1 overlap; the
@@ -263,284 +566,10 @@ class _DeviceStream:
         self._chars = 0
         self._carry = None
         self._inflight = []  # queued (device outputs, starts_fresh) per chunk
+        self._no_ladder = False  # subclasses with fixed step shapes set True
         self.report = dict.fromkeys(
             ["num_kmers", "num_positive_kmers", "num_negative_kmers",
              "num_invalid_kmers", "num_searches", "num_extensions"], 0)
-
-        cfg = engine.cfg
-        # one compiled step per (engine, P, R): cache on the engine
-        cache = getattr(engine, "_stream_steps", None)
-        if cache is None:
-            cache = engine._stream_steps = {}
-        if (self.P, self.R) in cache:
-            self._step = cache[(self.P, self.R)]
-            self._jnp = jnp
-            return
-        lookup = make_lookup(cfg)
-        P_, R_ = self.P, self.R
-        I32 = jnp.int32
-        U32j = jnp.uint32
-
-        S = 16  # anchor stride: 1 full lookup per S positions on hit-dense data
-        A = P_ // S
-        FWD = 1
-
-        def step(arrs, words32, rnpos, rfirst_bits, valid_bits, count, nreads):
-            """Anchored seed-and-extend (the batched analog of the reference
-            extension cache, streaming_query.hpp:86-100): full lookups only at
-            every S-th position; the S-1 followers of a found anchor resolve
-            with ONE string-char comparison each (chain prefix-AND per row);
-            broken chains fall back to compacted full lookups."""
-            from .ops import packed as Pk
-            from .ops import u64 as u
-
-            lane = jnp.arange(P_, dtype=I32)
-            # lane -> segment mapping WITHOUT full-width scatters: segment
-            # starts scatter into a P/32-bit mask (R-sized op), and the char
-            # position is AFFINE in the segment index because segments are
-            # concatenated contiguously: cstart[r] = pstart[r] + r*(k-1).
-            pstart = jnp.cumsum(rnpos) - rnpos
-            valid_r = jnp.arange(R_, dtype=I32) < nreads
-            pbit = U32j(1) << (pstart & U32j(31))
-            sbits = jnp.zeros((P_ // 32 + 1,), dtype=U32j).at[
-                jnp.where(valid_r, (pstart >> 5).astype(I32), P_)].add(
-                pbit, mode="drop")
-            rr = jnp.arange(R_, dtype=I32)
-            ris_first = ((jnp.take(rfirst_bits, rr >> 5, mode="clip")
-                          >> (rr & 31)) & 1) != 0
-            fbits = jnp.zeros((P_ // 32 + 1,), dtype=U32j).at[
-                jnp.where(valid_r & ris_first, (pstart >> 5).astype(I32),
-                          P_)].add(pbit, mode="drop")
-            # groups of S=16 lanes: every per-lane mask is a HALFWORD of its
-            # bit array, so all (S, A) masks come from A-wide extractions —
-            # no full-width bit expands on the fast path
-            g = jnp.arange(A, dtype=I32)
-            t = jnp.arange(S, dtype=U32j)[:, None]  # (S, 1)
-
-            def halves(bits):
-                w = jnp.take(bits, g >> 1, mode="clip")
-                return (w >> ((g & 1) * 16).astype(U32j)) & U32j(0xFFFF)
-
-            vhalf = halves(valid_bits)
-            fhalf = halves(fbits)
-            shalf = halves(sbits)
-            vg = ((vhalf[None, :] >> t) & 1) != 0  # (S, A) valid
-            fg = ((fhalf[None, :] >> t) & 1) != 0  # read starts
-            sg = ((shalf[None, :] >> t) & 1) != 0  # segment starts
-
-            def pc16(v):
-                v = v - ((v >> 1) & U32j(0x5555))
-                v = (v & U32j(0x3333)) + ((v >> 2) & U32j(0x3333))
-                v = (v + (v >> 4)) & U32j(0x0F0F)
-                return (v + (v >> 8)) & U32j(0x1F)
-
-            # r at each anchor lane from group popcounts (A-wide cumsum)
-            pch = pc16(shalf).astype(I32)
-            cum_g = jnp.cumsum(pch) - pch
-            r_a = cum_g + (shalf & 1).astype(I32) - 1
-            apos = (16 * g + r_a * (cfg.k - 1)).astype(U32j)
-
-            # ---- phase 1: anchor lookups (A = P/S lanes)
-            ares = lookup(arrs, Pk.read_kmers_at(words32, apos, cfg.k))
-            afound = ares["found"] & vg[0]
-            aoff = ares["kmer_offset"]
-            asid = ares["string_id"]
-            akid = ares["kmer_id"]
-            aorient = ares["kmer_orientation"]  # (A,) i32
-            fwd_a = aorient == FWD
-            sgn_a = jnp.where(fwd_a, U32j(1), U32j(0xFFFFFFFF))  # +-1 mod 2^32
-
-            # ---- phase 2: chain extension. A chain's S string chars and S
-            # read chars are CONSECUTIVE, so each anchor fetches ONE aligned
-            # 2-word window per source (A-wide gathers) and the per-follower
-            # compares are pure VPU in (S, A) layout. The in-string test
-            # uses the anchor's string bounds (streaming_query.hpp:182-197).
-            k1 = U32j(cfg.k - 1)
-
-            def win16(words, base):
-                """chars [base, base+16) as one aligned uint32 per anchor."""
-                w0i = (base >> 4).astype(I32)
-                w0 = jnp.take(words, w0i, mode="clip")
-                w1 = jnp.take(words, w0i + 1, mode="clip")
-                sh = (base & U32j(15)) * 2
-                nz = sh != 0
-                return (w0 >> sh) | jnp.where(nz, w1 << ((U32j(32) - sh) & U32j(31)), U32j(0))
-
-            base_s = jnp.where(fwd_a, aoff + k1,
-                               aoff - jnp.minimum(aoff, U32j(S - 1)))
-            saw = win16(arrs["strings32"], base_s)
-            raw = win16(words32, apos + k1)
-
-            og = jnp.where(fwd_a[None, :], aoff[None, :] + t, aoff[None, :] - t)
-            under = (~fwd_a)[None, :] & (aoff[None, :] < t)
-            idx_s = jnp.where(fwd_a[None, :], t, og - base_s[None, :])
-            schar = (saw[None, :] >> ((idx_s & U32j(15)) * 2)) & 3
-            rchar = (raw[None, :] >> (t * 2)) & 3
-            charok = jnp.where(fwd_a[None, :], schar == rchar,
-                               schar == (rchar ^ U32j(2)))
-            asb = ares["string_begin"][None, :]
-            ase = ares["string_end"][None, :]
-            instr = (og >= asb) & ((og + U32j(cfg.k)) <= ase)
-            cond = vg & ~fg & ~sg & charok & instr & ~under
-            cond = cond.at[0, :].set(afound)
-            matched = jnp.cumprod(cond.astype(I32), axis=0) > 0  # (S, A)
-            miss = vg & ~matched
-            # fallback window width: small enough that high-hit chunks (few
-            # misses) do one cheap masked lookup, big enough that low-hit
-            # chunks don't loop excessively (while_loop iterations are
-            # dispatch-free on device)
-            Wp = max(4096, P_ // 64)
-
-            def derive_fast(_):
-                """No fallback needed (every valid position chained): all
-                counters derive from the (S, A) matrices + anchor arrays."""
-                n_valid = vg.sum().astype(U32j)
-                n_pos = n_valid  # matched == vg here
-                ext_in = matched[1:, :].sum().astype(U32j)
-                prev_ok = jnp.concatenate([jnp.zeros(1, bool), matched[S - 1, :-1]])
-                extg = (matched[0] & prev_ok & ~((fhalf & 1) != 0)
-                        & ~((shalf & 1) != 0)
-                        & (asid == jnp.roll(asid, 1))
-                        & (aorient == jnp.roll(aorient, 1))
-                        & (akid == jnp.roll(akid, 1)
-                           + jnp.roll(sgn_a, 1) * U32j(S)))
-                n_ext = ext_in + extg.sum().astype(U32j)
-                n_inv = count.astype(U32j) - n_valid
-                last = jnp.clip(count.astype(I32) - 1, 0, P_ - 1)
-                gl = last // S
-                tl = (last % S).astype(U32j)
-                fl = jnp.take(matched.reshape(-1), (last % S) * A + gl) != 0
-                counters = jnp.stack([count.astype(U32j), n_pos, n_ext, n_inv])
-                lane0 = jnp.stack([matched[0, 0].astype(U32j), asid[0], akid[0],
-                                   aorient[0].astype(U32j)])
-                lastv = jnp.stack([
-                    fl.astype(U32j), jnp.take(asid, gl),
-                    jnp.take(akid, gl) + jnp.take(sgn_a, gl) * tl,
-                    jnp.take(aorient, gl).astype(U32j)])
-                return jnp.stack([counters, lane0, lastv])
-
-            def derive_full(_):
-                """Some positions missed their chain: build per-lane arrays,
-                run the fallback searches (with the negative-minimizer-run
-                skip, reference streaming_query.hpp:150-157), then derive
-                counters from per-lane adjacency."""
-                found_l = matched.T.reshape(P_)
-                sid_l = jnp.broadcast_to(asid[:, None], (A, S)).reshape(P_)
-                kid_l = (akid[None, :] + sgn_a[None, :] * t).T.reshape(P_)
-                ori_l = jnp.broadcast_to(aorient[:, None], (A, S)).reshape(P_)
-                valid = vg.T.reshape(P_)
-                first = fg.T.reshape(P_)
-                sb = ((sbits[lane >> 5] >> (lane & 31).astype(U32j)) & 1) != 0
-                r = jnp.cumsum(sb.astype(I32)) - 1
-                pos = (lane + r * (cfg.k - 1)).astype(U32j)
-                need = valid & ~found_l
-                n_need = need.sum()
-
-                def heads_runskip(_):
-                    """Negative-minimizer-run skip (streaming_query.hpp:
-                    150-157): only worth the per-char hashing when misses
-                    are NUMEROUS (low-hit chunks)."""
-                    w_ = cfg.k - cfg.m + 1
-                    h_f, h_r = Pk.char_mmer_hashes(words32, words32.shape[0] * 16,
-                                                   cfg.m, u.const64(cfg.magic))
-                    mh_f = Pk.sliding_min_u64(h_f, w_)
-                    mh_r = Pk.sliding_min_u64(h_r, w_)
-                    pmh_f = u.u64(jnp.take(mh_f.hi, pos.astype(I32), mode="clip"),
-                                  jnp.take(mh_f.lo, pos.astype(I32), mode="clip"))
-                    pmh_r = u.u64(jnp.take(mh_r.hi, pos.astype(I32), mode="clip"),
-                                  jnp.take(mh_r.lo, pos.astype(I32), mode="clip"))
-
-                    def prev64(v):
-                        return u.u64(jnp.roll(v.hi, 1).at[0].set(0xFFFFFFFF),
-                                     jnp.roll(v.lo, 1).at[0].set(0xFFFFFFFF))
-
-                    same_pair = (u.equal(pmh_f, prev64(pmh_f))
-                                 & u.equal(pmh_r, prev64(pmh_r)) & ~first)
-                    prev_need = jnp.roll(need, 1).at[0].set(False)
-                    return need & ~(prev_need & same_pair)
-
-                head = jax.lax.cond(n_need > P_ // 64, heads_runskip,
-                                    lambda _: need, jnp.int32(0))
-
-                # per-lane run-head lane index (segmented broadcast)
-                seg = jnp.cumsum(head.astype(I32)) - 1
-                nheads = seg[-1] + 1
-                head_mf = jnp.zeros((P_,), dtype=bool)  # per-HEAD-rank mf
-
-                def run_windows(sel, nsel, carry, record_mf):
-                    """Compacted full lookups over `sel` lanes."""
-                    found_l, sid_l, kid_l, ori_l, head_mf = carry
-                    rank = jnp.cumsum(sel.astype(I32)) - 1
-                    lids = jnp.zeros((P_,), dtype=I32).at[
-                        jnp.where(sel, rank, P_)].set(lane, mode="drop")
-
-                    def wbody(w, carry):
-                        found_l, sid_l, kid_l, ori_l, head_mf = carry
-                        slot = w * Wp + jnp.arange(Wp, dtype=I32)
-                        lid = jnp.take(lids, jnp.clip(slot, 0, P_ - 1), mode="clip")
-                        ok = slot < nsel
-                        lp = jnp.take(pos, lid, mode="clip")
-                        km = Pk.read_kmers_at(words32, jnp.where(ok, lp, U32j(0)), cfg.k)
-                        r2 = lookup(arrs, km)
-                        f2 = r2["found"] & ok
-                        tgt = jnp.where(f2, lid, P_)
-                        found_l = found_l.at[tgt].set(True, mode="drop")
-                        sid_l = sid_l.at[tgt].set(r2["string_id"], mode="drop")
-                        kid_l = kid_l.at[tgt].set(r2["kmer_id"], mode="drop")
-                        ori_l = ori_l.at[tgt].set(r2["kmer_orientation"], mode="drop")
-                        if record_mf:
-                            # store minimizer_found per head RANK
-                            hrank = jnp.take(seg, jnp.clip(lid, 0, P_ - 1), mode="clip")
-                            head_mf = head_mf.at[jnp.where(ok, hrank, P_)].set(
-                                r2["minimizer_found"] | f2, mode="drop")
-                        return found_l, sid_l, kid_l, ori_l, head_mf
-
-                    nw = (nsel + Wp - 1) // Wp
-                    _, out = jax.lax.while_loop(
-                        lambda c: c[0] < nw,
-                        lambda c: (c[0] + 1, wbody(c[0], c[1])),
-                        (jnp.int32(0), carry))
-                    return out
-
-                carry5 = (found_l, sid_l, kid_l, ori_l, head_mf)
-                carry5 = run_windows(head, nheads, carry5, record_mf=True)
-                found_l, sid_l, kid_l, ori_l, head_mf = carry5
-
-                # skip non-head run members whose head proved the minimizer
-                # pair absent; the rest (head found or minimizer present)
-                # round 2
-                my_mf = jnp.take(head_mf, jnp.clip(seg, 0, P_ - 1), mode="clip")
-                round2 = need & ~head & my_mf
-                n2 = round2.sum()
-                carry5 = run_windows(round2, n2, carry5, record_mf=False)
-                found_l, sid_l, kid_l, ori_l, _ = carry5
-
-                # per-lane counter derivation (see module docstring)
-                found = found_l & valid
-                pf = jnp.roll(found, 1).at[0].set(False)
-                ext = (found & pf & ~first
-                       & (sid_l == jnp.roll(sid_l, 1))
-                       & (ori_l == jnp.roll(ori_l, 1))
-                       & (kid_l == jnp.roll(kid_l, 1) + jnp.roll(ori_l, 1).astype(U32j)))
-                n_pos = found.sum().astype(U32j)
-                n_ext = ext.sum().astype(U32j)
-                n_inv = count.astype(U32j) - valid.sum().astype(U32j)
-                last = jnp.clip(count.astype(I32) - 1, 0, P_ - 1)
-                counters = jnp.stack([count.astype(U32j), n_pos, n_ext, n_inv])
-                lane0 = jnp.stack([found[0].astype(U32j), sid_l[0], kid_l[0],
-                                   ori_l[0].astype(U32j)])
-                lastv = jnp.stack([jnp.take(found, last).astype(U32j),
-                                   jnp.take(sid_l, last), jnp.take(kid_l, last),
-                                   jnp.take(ori_l, last).astype(U32j)])
-                return jnp.stack([counters, lane0, lastv])
-
-            # one (3, 4) output array: the host folds a chunk with a SINGLE
-            # round trip (3 separate fetches cost ~40ms each on slow links)
-            return jax.lax.cond(miss.any(), derive_full, derive_fast,
-                                jnp.int32(0))
-
-        self._step = cache[(self.P, self.R)] = jax.jit(step)
-        self._jnp = jnp
 
     @staticmethod
     def _cw_words(pmax, rmax, k):
@@ -590,13 +619,15 @@ class _DeviceStream:
         # compiles once and is cached on the engine)
         P_eff = self.P
         chars_total = sum(len(s) for s in seqs)
-        while P_eff // 4 >= count and P_eff // 4 >= 1 << 16 \
-                and len(seqs) <= (P_eff // 4) >> 4 \
-                and chars_total <= self._cw_words(P_eff // 4, (P_eff // 4) >> 4,
-                                                 k) * 16:
+        sh = self.rmax_shift
+        while not self._no_ladder and P_eff // 4 >= count \
+                and P_eff // 4 >= 1 << 16 \
+                and len(seqs) <= max(16, (P_eff // 4) >> sh) \
+                and chars_total <= self._cw_words(
+                    P_eff // 4, max(16, (P_eff // 4) >> sh), k) * 16:
             P_eff //= 4
         if P_eff != self.P:
-            sub = _DeviceStream(self.engine, k, pmax=P_eff)
+            sub = _DeviceStream(self.engine, k, pmax=P_eff, rmax_shift=sh)
             sub._seqs = [(s, f) for (s, f) in zip(seqs, starts_flag)]
             sub._pending = count
             sub._chars = sum(len(s) for s in seqs)
@@ -689,17 +720,22 @@ class _DeviceStream:
 
 
 def streaming_query_from_file(dictionary, path, multiline=False, fmt=None,
-                              use_device=False, chunk=None):
+                              use_device=False, chunk=None, rmax_shift=None):
     """Run streaming membership queries; returns the report dict of
     streaming_query_report (reference util.hpp:29-36) plus timing.
     chunk: positions per batch (device default 2^22 — big chunks amortize
-    the per-dispatch cost; host default 2^18)."""
+    the per-dispatch cost; host default 2^18). rmax_shift: log2(P/R) segment
+    budget; defaults to 12 for multiline (few long records — minimizes
+    upload bytes) and 4 otherwise (short-read fastq)."""
     index = dictionary.index
     t0 = time.perf_counter()
     if use_device:
         engine = dictionary.to_device()
+        if rmax_shift is None:
+            rmax_shift = 12 if multiline else 4
         batcher = _DeviceStream(engine, index.k,
-                                pmax=max(chunk or (1 << 22), 1 << 16))
+                                pmax=max(chunk or (1 << 22), 1 << 16),
+                                rmax_shift=rmax_shift)
     else:
         batcher = _Batcher(index, _host_lookup(index), index.k,
                            chunk=chunk or (1 << 18))

@@ -31,6 +31,12 @@ def _add_build(sub):
     p.add_argument("-d", "--tmp-dir", default=None,
                    help="spill directory for the out-of-core build "
                         "(the reference's -d flag)")
+    p.add_argument("-t", "--threads", type=int, default=1,
+                   help="builder worker threads (the reference's -t flag); "
+                        "results are bit-identical at any count")
+    p.add_argument("-a", "--lmbda", type=float, default=None,
+                   help="pilot-search lambda = avg bucket load (the "
+                        "reference's -a flag; default constants.LAMBDA)")
 
 
 def _add_query(sub):
@@ -84,7 +90,8 @@ def _build(args):
 
     cfg = BuildConfig(k=args.k, m=args.m, seed=args.seed if args.seed is not None else SEED,
                       canonical=args.canonical, weighted=args.weighted, verbose=args.verbose,
-                      ram_limit_mb=args.ram_mb, tmp_dir=args.tmp_dir)
+                      ram_limit_mb=args.ram_mb, tmp_dir=args.tmp_dir,
+                      threads=args.threads, lmbda=args.lmbda)
     d = Dictionary.build(args.input, cfg)
     d.print_info()
     if args.check:

@@ -15,6 +15,11 @@ import jax
 # any backend is used.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the big sharded/streaming kernels take
+# minutes to compile on this 1-vCPU host; cache them across suite runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import numpy as np
 import pytest
 

@@ -20,6 +20,9 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    # share the suite's persistent compile cache (big sharded kernels)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     from sshash_tpu.parallel import multihost
 

@@ -208,8 +208,10 @@ def test_load_legacy_skew_array_names(dict_m9, tmp_path, rng):
         z[f"skew_remap_{i}"] = np.asarray(p.remap, dtype=np.uint64).astype(np.uint32)
         sm["pilots_cv"] = None
         sm["remap_cv"] = None
+        drop = {f"skew_{i}_{base}{suf}" for base in ("pilots", "remap")
+                for suf in ("", "_words", "_dict")}
         for key in list(z):
-            if key.startswith(f"skew_{i}_pilots") or key.startswith(f"skew_{i}_remap"):
+            if key in drop:
                 del z[key]
     z["meta_json"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     legacy = str(tmp_path / "legacy.npz")

@@ -70,6 +70,41 @@ def test_device_neighbours_match_oracle(dict_k31, rng):
     np.testing.assert_array_equal(dev["kmer_id"][:, 4:], want["backward"]["kmer_id"])
 
 
+def test_skew_partitioned_classes(tmp_path, rng):
+    """v1.2: skew size classes build PartitionedMPHFs; classes past
+    avg_partition_size get P>1 (reference per-partition PTHash,
+    build_sparse_and_skew_index.cpp:312-478). Engine + oracle + sharded +
+    save/load parity."""
+    import numpy as np
+    from conftest import SE_K31
+    from sshash_tpu import BuildConfig, Dictionary
+    from sshash_tpu import oracle
+    from sshash_tpu.index import Index
+    from sshash_tpu.mphf import PartitionedMPHF
+    from sshash_tpu.parallel import ShardedEngine, make_mesh
+
+    d = Dictionary.build(SE_K31, BuildConfig(k=31, m=9, verbose=False,
+                                             avg_partition_size=2000))
+    idx = d.index
+    assert any(isinstance(p.mphf, PartitionedMPHF)
+               and p.mphf.num_partitions > 1
+               for p in idx.skew_partitions if p.mphf.n > 0)
+    ids = rng.integers(0, idx.num_kmers, 2048)
+    km = oracle.access(idx, ids)
+    eng = d.to_device()
+    assert eng.cfg.skew_partitioned and eng.cfg.skew_hrows
+    np.testing.assert_array_equal(eng.lookup(km)["kmer_id"],
+                                  ids.astype(np.uint64))
+    sh = ShardedEngine(idx, make_mesh(shape=(2, 4)))
+    got, _ = sh.lookup(km)
+    np.testing.assert_array_equal(got["kmer_id"], ids.astype(np.uint64))
+    path = str(tmp_path / "p.npz")
+    idx.save(path)
+    idx2 = Index.load(path)
+    np.testing.assert_array_equal(oracle.lookup(idx2, km)["kmer_id"],
+                                  ids.astype(np.uint64))
+
+
 def test_skew_index_device_parity(rng):
     """HEAVYLOAD path: m=9 forces buckets past 2^MIN_L into the skew index;
     device lookup must stay bit-exact (engine.skew_eval vs oracle)."""

@@ -26,6 +26,7 @@ def _assert_index_equal(a, b):
     for pa, pb in zip(a.skew_partitions, b.skew_partitions):
         np.testing.assert_array_equal(pa.positions, pb.positions)
         np.testing.assert_array_equal(pa.mphf.pilots, pb.mphf.pilots)
+        np.testing.assert_array_equal(pa.hindex, pb.hindex)
 
 
 @pytest.mark.parametrize("m,canonical", [(13, False), (15, True)])

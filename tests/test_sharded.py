@@ -148,6 +148,70 @@ def test_sharded_per_device_bytes_drop(dict_k31):
     assert b4 < 0.55 * b1, (b1, b4)
 
 
+def test_sharded_access_and_neighbours(dict_k31, rng):
+    """Sharded access (id-owner resolve + char-owner read + 2 combines) and
+    navigation must match the single-device engine/oracle."""
+    from sshash_tpu.parallel import ShardedEngine
+
+    index = dict_k31.index
+    eng = ShardedEngine(index, _mesh(2, 4))
+    ids = rng.integers(0, index.num_kmers, 513)  # not a batch multiple
+    np.testing.assert_array_equal(eng.access(ids), oracle.access(index, ids))
+    km = oracle.access(index, ids[:64])
+    want = dict_k31.kmer_neighbours(km)
+    got = eng.kmer_neighbours(km)
+    np.testing.assert_array_equal(got["kmer_id"][:, :4],
+                                  want["forward"]["kmer_id"])
+    np.testing.assert_array_equal(got["kmer_id"][:, 4:],
+                                  want["backward"]["kmer_id"])
+
+
+def test_sharded_weight(dict_weighted, rng):
+    from sshash_tpu.parallel import ShardedEngine
+
+    widx = dict_weighted.index
+    engw = ShardedEngine(widx, _mesh(4, 2))
+    wids = rng.integers(0, widx.num_kmers, 257)
+    np.testing.assert_array_equal(engw.weight(wids), dict_weighted.weight(wids))
+
+
+def test_sharded_strings_bytes_drop(dict_k31):
+    """With strings/resolve tables sharded too, 8-way bucket sharding must
+    push per-device bytes well below the replicated-remainder-only floor."""
+    from sshash_tpu.parallel import ShardedEngine
+
+    e1 = ShardedEngine(dict_k31.index, _mesh(8, 1))
+    e8 = ShardedEngine(dict_k31.index, _mesh(1, 8))
+    assert e8.per_device_bytes() < 0.3 * e1.per_device_bytes(), (
+        e1.per_device_bytes(), e8.per_device_bytes())
+
+
+def test_sharded_stream_packed(dict_k31):
+    """The PACKED sharded streaming pipeline (2-bit char uploads, anchored
+    seed-and-extend with bucket-sharded lookups and owner-answered string
+    chains) must reproduce the host batcher's counters exactly — including
+    a read split across chunks on different data shards (carry stitch)."""
+    from sshash_tpu.parallel import ShardedEngine, ShardedStream
+    from sshash_tpu.streaming import _Batcher, _host_lookup, parse_reads
+    from conftest import QUERIES_FASTA_MULTI, QUERIES_FASTQ
+
+    index = dict_k31.index
+    genome = next(parse_reads(QUERIES_FASTA_MULTI, multiline=True))
+    fastq = [r for _, r in zip(range(20), parse_reads(QUERIES_FASTQ))]
+    reads = [genome[:30000]] + fastq + [genome[100000:170500]]
+    # the last read splits across >=2 chunks (P=2^16) => cross-chunk carry
+
+    eng = ShardedEngine(index, _mesh(4, 2))
+    st = ShardedStream(eng, pmax=1 << 16)
+    hb = _Batcher(index, _host_lookup(index), index.k)
+    for r in reads:
+        st.add_read(r)
+        hb.add_read(r)
+    got = st.finalize()
+    want = hb.finalize()
+    assert got == want, (got, want)
+
+
 def test_multihost_helpers_single_process():
     """multihost helpers degrade gracefully single-process: no-op bootstrap,
     global mesh over local devices, identity-ish local batch slicing."""
