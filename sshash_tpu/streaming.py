@@ -573,7 +573,12 @@ class _DeviceStream:
 
     @staticmethod
     def _cw_words(pmax, rmax, k):
-        return (pmax + rmax * (k - 1) + 31) // 32 + 4
+        # capacity must fit ONE full-P single segment (long reads /
+        # multiline genomes — otherwise a genome splits into multiple
+        # chunks that each pay the full P-shaped kernel); beyond that,
+        # budget half the all-R worst case (short-read slack)
+        chars = max((pmax + rmax * (k - 1) + 1) // 2, pmax + k - 1 + 16)
+        return (chars + 15) // 16 + 2
 
     def add_read(self, seq):
         k = self.k

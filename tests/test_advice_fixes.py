@@ -175,10 +175,12 @@ def test_device_stream_long_read_small_k(tmp_path, rng):
     d = Dictionary.build(str(path), BuildConfig(k=k, m=5, verbose=False))
     eng = d.to_device()
     st = _DeviceStream(eng, k, pmax=1 << 16)
-    assert st.CW * 16 < st.P + k - 1  # the char budget really is the binding one
+    # the char budget must always fit one full-P segment (the advisor bug:
+    # it didn't for k <= 16, and the native encoder wrote out of bounds)
+    assert st.CW * 16 >= st.P + k - 1
     # index strings separated by N's (invalid positions, no junction kmers);
-    # repeated past the char budget to force the segment split
-    read = ((seqs[0] + "N" + seqs[1] + "N").encode()) * 30
+    # repeated past the char budget to force chunked flushes
+    read = ((seqs[0] + "N" + seqs[1] + "N").encode()) * 40
     assert len(read) - k + 1 > st.CW * 16 - (k - 1)
     st.add_read(read)
     got = st.finalize()
