@@ -234,7 +234,7 @@ def _host_lookup(index):
     return fn
 
 
-def make_stream_step(cfg, lookup, P_, R_, swin=None):
+def make_stream_step(cfg, lookup, P_, R_, swin=None, debug_stage=None):
     """Build the per-chunk anchored seed-and-extend streaming step
     (jit-ready). Parameterized so the sharded engine can reuse it:
 
@@ -242,6 +242,9 @@ def make_stream_step(cfg, lookup, P_, R_, swin=None):
       swin(arrs, base, win16) -> one aligned uint32 holding 16 string chars
         per anchor (defaults to a plain local strings32 read; the sharded
         engine passes an owner-masked read combined over the bucket axis)
+      debug_stage: profiling hook (scripts/profile_stream_stages.py) —
+        'masks' | 'anchor' | 'chain' | 'fast' | 'full' truncates the step
+        after that phase / forces a derive branch (output shape unchanged)
     """
     import jax
     import jax.numpy as jnp
@@ -310,8 +313,16 @@ def make_stream_step(cfg, lookup, P_, R_, swin=None):
         r_a = cum_g + (shalf & 1).astype(I32) - 1
         apos = (16 * g + r_a * (cfg.k - 1)).astype(U32j)
 
+        if debug_stage == "masks":
+            s = (apos.sum() + vg.sum() + fg.sum() + sg.sum()).astype(U32j)
+            return jnp.full((3, 4), s, dtype=U32j)
+
         # ---- phase 1: anchor lookups (A = P/S lanes)
         ares = lookup(arrs, Pk.read_kmers_at(words32, apos, cfg.k))
+        if debug_stage == "anchor":
+            s = (apos.sum() + vg.sum() + ares["kmer_id"].sum()
+                 + ares["kmer_offset"].sum()).astype(U32j)
+            return jnp.full((3, 4), s, dtype=U32j)
         afound = ares["found"] & vg[0]
         aoff = ares["kmer_offset"]
         asid = ares["string_id"]
@@ -354,6 +365,9 @@ def make_stream_step(cfg, lookup, P_, R_, swin=None):
         cond = vg & ~fg & ~sg & charok & instr & ~under
         cond = cond.at[0, :].set(afound)
         matched = jnp.cumprod(cond.astype(I32), axis=0) > 0  # (S, A)
+        if debug_stage == "chain":
+            s = (matched.sum() + akid.sum()).astype(U32j)
+            return jnp.full((3, 4), s, dtype=U32j)
         miss = vg & ~matched
         # fallback window width: small enough that high-hit chunks (few
         # misses) do one cheap masked lookup, big enough that low-hit
@@ -508,6 +522,10 @@ def make_stream_step(cfg, lookup, P_, R_, swin=None):
 
         # one (3, 4) output array: the host folds a chunk with a SINGLE
         # round trip (3 separate fetches cost ~40ms each on slow links)
+        if debug_stage == "fast":
+            return derive_fast(jnp.int32(0))
+        if debug_stage == "full":
+            return derive_full(jnp.int32(0))
         return jax.lax.cond(miss.any(), derive_full, derive_fast,
                             jnp.int32(0))
 
