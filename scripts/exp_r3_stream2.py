@@ -1,0 +1,60 @@
+"""Measure the round-3 stream kernel (derive_corr branch) on the real TPU:
+bench.py's exact high-hit shape (genome vs own index, one 5<<20 chunk),
+kernel-only and end-to-end. Prints json lines."""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+INPUT = "/root/reference/data/unitigs_stitched/salmonella_enterica_k31_ust.fa.gz"
+GENOME = "/root/reference/data/queries/salmonella_enterica.fasta.gz"
+
+
+def main():
+    from sshash_tpu import BuildConfig, Dictionary
+    from sshash_tpu.streaming import _DeviceStream, parse_reads, streaming_query_from_file
+
+    d = Dictionary.build(INPUT, BuildConfig(k=31, m=17, verbose=False))
+    eng = d.to_device()
+    CH = 5 << 20
+
+    # end-to-end (bench.py recipe): warm then time
+    for rep in range(3):
+        t0 = time.perf_counter()
+        r = streaming_query_from_file(d, GENOME, multiline=True,
+                                      use_device=True, chunk=CH)
+        dt = time.perf_counter() - t0
+        print(json.dumps({"pass": rep, "kmers": r["num_kmers"],
+                          "pos": r["num_positive_kmers"],
+                          "searches": r["num_searches"],
+                          "ms": round(dt * 1e3, 1),
+                          "kmers_per_s": round(r["num_kmers"] / dt)}),
+              flush=True)
+
+    # kernel-only: capture the one chunk's args, time the compiled step
+    ds = _DeviceStream(eng, 31, pmax=CH, rmax_shift=12)
+    captured = []
+    real_step = ds._step
+    ds._step = lambda *a: captured.append(a) or real_step(*a)
+    for seq in parse_reads(GENOME, multiline=True):
+        ds.add_read(seq)
+    ds.flush()
+    args = captured[0]
+    cnt = int(args[5])
+    np.asarray(real_step(*args))  # warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(real_step(*args))
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps({"stage": "kernel_only", "ms": round(best * 1e3, 1),
+                      "ns_per_pos": round(best / cnt * 1e9, 1),
+                      "kmers_per_s": round(cnt / best)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -50,7 +50,12 @@ def main():
     print(json.dumps({"chunks": len(captured),
                       "count": int(args[5])}), flush=True)
 
-    for name in ["masks", "anchor", "chain", "fast", "full", None]:
+    stages = sys.argv[1:] or ["masks", "anchor", "chain", "fast",
+                              "dfl_lanes", "dfl_pos", "dfl_head", "dfl_seg",
+                              "dfl_win1", "dfl_win2", "full", None]
+    for name in stages:
+        if name == "none":
+            name = None
         fn = jax.jit(make_stream_step(cfg, make_lookup(cfg), ds.P, ds.R,
                                       debug_stage=name))
         t = timeit(fn, args)

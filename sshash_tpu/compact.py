@@ -115,6 +115,43 @@ class CompactVector:
         return 8 * self.nbytes + 2 * 64
 
 
+def ef_encode(vals):
+    """Elias-Fano code for a monotone non-decreasing uint64 sequence — the
+    at-rest analog of the reference's EF-coded string/weight interval
+    endpoints (reference include/offsets.hpp:115-155, weights.hpp:190,
+    external/bits elias_fano). Returns (low_words, high_words, meta):
+    low = n fixed-width(l) entries, high = unary-coded upper parts in a
+    bitvector of n + (U >> l) bits; l = floor(log2(U / n)).
+
+    Decode is a full sequential expansion (ef_decode) — the index loads
+    endpoints back into plain arrays (the engine's speed mode); EF is the
+    DISK format, not a random-access structure."""
+    vals = np.asarray(vals, dtype=U64)
+    n = len(vals)
+    if n == 0:
+        return np.zeros(1, dtype=U64), np.zeros(1, dtype=U64), {"n": 0, "l": 0}
+    u = int(vals[-1]) + 1
+    l = max(0, (u // n).bit_length() - 1)
+    low = _pack_fixed((vals & U64((1 << l) - 1)).astype(np.int64), l)
+    hi = (vals >> U64(l)).astype(np.int64) + np.arange(n, dtype=np.int64)
+    high = np.zeros(int(hi[-1]) // 64 + 2, dtype=U64)
+    np.bitwise_or.at(high, hi >> 6, U64(1) << (hi & 63).astype(U64))
+    return low, high, {"n": n, "l": l}
+
+
+def ef_decode(low, high, meta):
+    """Inverse of ef_encode -> uint64 array."""
+    n, l = int(meta["n"]), int(meta["l"])
+    if n == 0:
+        return np.zeros(0, dtype=U64)
+    pos = np.flatnonzero(
+        np.unpackbits(np.ascontiguousarray(high).view(np.uint8),
+                      bitorder="little"))[:n]
+    hi_vals = (pos - np.arange(n, dtype=np.int64)).astype(U64) << U64(l)
+    lo_vals = _unpack_fixed(np.asarray(low), l, np.arange(n)).astype(U64)
+    return hi_vals | lo_vals
+
+
 def take(vec, idx, dtype=np.int64):
     """Random access on a CompactVector OR a plain array (clip semantics)."""
     if isinstance(vec, CompactVector):

@@ -39,7 +39,7 @@ BACKWARD_ORIENTATION = -1
 
 # Index (de)serialization version. Major mismatch => rebuild required
 # (reference: util.hpp:191-195).
-VERSION = (1, 2, 0)
+VERSION = (1, 3, 0)
 
 # Bucket status codes stored in the low bits of a control codeword
 # (reference: util.hpp:13-17 and build_sparse_and_skew_index.cpp:119,209,226).

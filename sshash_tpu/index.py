@@ -155,11 +155,19 @@ class Index:
         np.savez_compressed(path, **arrays)
 
     def _arrays_and_meta(self):
+        from .compact import ef_encode
+
         arrays = {
             "strings64": self.strings64,
-            "string_endpoints": self.string_endpoints,
             "begin_buckets_of_size": self.begin_buckets_of_size,
         }
+        # monotone endpoint sequences go to disk Elias-Fano-coded
+        # (reference offsets.hpp:115-155); loaded back into plain arrays
+        ef_meta = {}
+        lo, hi, em = ef_encode(self.string_endpoints)
+        arrays["string_endpoints_ef_low"] = lo
+        arrays["string_endpoints_ef_high"] = hi
+        ef_meta["string_endpoints"] = em
         for name in ("codewords", "mid_load_buckets", "heavy_load_buckets"):
             arrays.update(_cv_arrays(getattr(self, name), name))
         arrays.update(_mphf_arrays(self.minimizer_mphf, "mphf"))
@@ -192,8 +200,12 @@ class Index:
         meta["skew_mphfs"] = skew_meta
         if self.weights is not None:
             arrays["weights_value_ids"] = self.weights.interval_value_ids
-            arrays["weights_endpoints"] = self.weights.interval_endpoints
+            lo, hi, em = ef_encode(self.weights.interval_endpoints)
+            arrays["weights_endpoints_ef_low"] = lo
+            arrays["weights_endpoints_ef_high"] = hi
+            ef_meta["weights_endpoints"] = em
             arrays["weights_dictionary"] = self.weights.dictionary
+        meta["ef"] = ef_meta
         return arrays, meta
 
     @classmethod
@@ -240,7 +252,7 @@ class Index:
         if meta["weighted"]:
             weights = Weights(
                 interval_value_ids=z["weights_value_ids"],
-                interval_endpoints=z["weights_endpoints"],
+                interval_endpoints=_ef_or_raw(z, meta, "weights_endpoints"),
                 dictionary=z["weights_dictionary"],
             )
         return cls(
@@ -252,7 +264,7 @@ class Index:
             num_strings=meta["num_strings"],
             strings64=z["strings64"],
             num_chars=meta["num_chars"],
-            string_endpoints=z["string_endpoints"],
+            string_endpoints=_ef_or_raw(z, meta, "string_endpoints"),
             minimizer_mphf=_mphf_from(meta["mphf"], z, "mphf"),
             codewords=_cv_from(meta.get("cv", {}).get("codewords"), z, "codewords"),
             begin_buckets_of_size=z["begin_buckets_of_size"],
@@ -264,6 +276,17 @@ class Index:
             weights=weights,
             stats=meta.get("stats", {}),
         )
+
+
+def _ef_or_raw(z, meta, name):
+    """Endpoint arrays: EF-coded on disk since v1.3 (meta['ef']); earlier
+    minor versions stored the raw uint64 array under the bare name."""
+    em = meta.get("ef", {}).get(name)
+    if em is None:
+        return z[name]
+    from .compact import ef_decode
+
+    return ef_decode(z[name + "_ef_low"], z[name + "_ef_high"], em)
 
 
 class _KeyAlias:

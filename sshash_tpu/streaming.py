@@ -421,6 +421,15 @@ def make_stream_step(cfg, lookup, P_, R_, swin=None, debug_stage=None):
             need = valid & ~found_l
             n_need = need.sum()
 
+            def dbg(*vals):
+                s = sum(v.sum().astype(U32j) for v in vals)
+                return jnp.full((3, 4), s, dtype=U32j)
+
+            if debug_stage == "dfl_lanes":
+                return dbg(found_l, sid_l, kid_l, ori_l, valid, first)
+            if debug_stage == "dfl_pos":
+                return dbg(pos, need, n_need.astype(U32j))
+
             def heads_runskip(_):
                 """Negative-minimizer-run skip (streaming_query.hpp:
                 150-157): only worth the per-char hashing when misses
@@ -446,12 +455,16 @@ def make_stream_step(cfg, lookup, P_, R_, swin=None, debug_stage=None):
 
             head = jax.lax.cond(n_need > P_ // 64, heads_runskip,
                                 lambda _: need, jnp.int32(0))
+            if debug_stage == "dfl_head":
+                return dbg(head)
 
             # per-lane run-head lane index (segmented broadcast)
             head_i = head.astype(I32)
             seg = Pk.prefix_sum_ex(head_i) + head_i - 1
             nheads = seg[-1] + 1
             head_mf = jnp.zeros((P_,), dtype=bool)  # per-HEAD-rank mf
+            if debug_stage == "dfl_seg":
+                return dbg(seg, nheads.astype(U32j))
 
             def run_windows(sel, nsel, carry, record_mf):
                 """Compacted full lookups over `sel` lanes."""
@@ -491,6 +504,8 @@ def make_stream_step(cfg, lookup, P_, R_, swin=None, debug_stage=None):
             carry5 = (found_l, sid_l, kid_l, ori_l, head_mf)
             carry5 = run_windows(head, nheads, carry5, record_mf=True)
             found_l, sid_l, kid_l, ori_l, head_mf = carry5
+            if debug_stage == "dfl_win1":
+                return dbg(found_l, sid_l, kid_l, ori_l, head_mf)
 
             # skip non-head run members whose head proved the minimizer
             # pair absent; the rest (head found or minimizer present)
@@ -500,6 +515,8 @@ def make_stream_step(cfg, lookup, P_, R_, swin=None, debug_stage=None):
             n2 = round2.sum()
             carry5 = run_windows(round2, n2, carry5, record_mf=False)
             found_l, sid_l, kid_l, ori_l, _ = carry5
+            if debug_stage == "dfl_win2":
+                return dbg(found_l, sid_l, kid_l, ori_l)
 
             # per-lane counter derivation (see module docstring)
             found = found_l & valid
@@ -520,13 +537,138 @@ def make_stream_step(cfg, lookup, P_, R_, swin=None, debug_stage=None):
                                jnp.take(ori_l, last).astype(U32j)])
             return jnp.stack([counters, lane0, lastv])
 
+        def derive_corr(_):
+            """0 < misses <= P/64 (the common high-hit shape: a chain
+            break per unitig end): resolve every miss with ONE compacted
+            Wc-lane lookup addressed in RANK space (rank -> lane via an
+            A-wide searchsorted + in-group bit select), then CORRECT the
+            fast-path counters at the miss lanes. No P-wide transpose /
+            prefix-sum / scatter / gather runs on this branch — those
+            were the +44 ns/pos of the general path
+            (scripts/profile_stream_stages.py)."""
+            Wc = P_ // 64
+            mhalf = (matched.astype(U32j) << t).sum(axis=0)  # (A,) packed
+            needh = vhalf & ~mhalf
+            pcn = pc16(needh).astype(I32)
+            cumn = jnp.cumsum(pcn)          # inclusive, A-wide
+            basen = cumn - pcn
+            nneed = cumn[-1]
+            slot = jnp.arange(Wc, dtype=I32)
+            okb = slot < nneed
+            gj = jnp.clip(jnp.searchsorted(cumn, slot, side="right"),
+                          0, A - 1).astype(I32)
+            jj = slot - jnp.take(basen, gj)
+            mk = jnp.take(needh, gj)
+            # jj-th set bit of the 16-bit mask (unrolled ALU select)
+            tj = jnp.zeros((Wc,), dtype=I32)
+            cnt = jnp.zeros((Wc,), dtype=I32)
+            for b in range(S):
+                bit = ((mk >> b) & 1).astype(I32)
+                tj = jnp.where((cnt == jj) & (bit == 1), b, tj)
+                cnt = cnt + bit
+            lane_j = 16 * gj + tj
+            tju = tj.astype(U32j)
+            inc_mask = (U32j(2) << tju) - U32j(1)  # bits 0..tj inclusive
+            rj = (jnp.take(cum_g, gj)
+                  + pc16(jnp.take(shalf, gj) & inc_mask).astype(I32) - 1)
+            posj = (lane_j + rj * (cfg.k - 1)).astype(U32j)
+            r2 = lookup(arrs, Pk.read_kmers_at(
+                words32, jnp.where(okb, posj, U32j(0)), cfg.k))
+            f2 = r2["found"] & okb
+            sid2 = r2["string_id"]
+            kid2 = r2["kmer_id"]
+            ori2 = r2["kmer_orientation"]
+
+            # base tallies: pairs with BOTH members chain-matched
+            ext_in = matched[1:, :].sum().astype(U32j)
+            prev_ok = jnp.concatenate([jnp.zeros(1, bool), matched[S - 1, :-1]])
+            extg = (matched[0] & prev_ok & ~((fhalf & 1) != 0)
+                    & ~((shalf & 1) != 0)
+                    & (asid == jnp.roll(asid, 1))
+                    & (aorient == jnp.roll(aorient, 1))
+                    & (akid == jnp.roll(akid, 1)
+                       + jnp.roll(sgn_a, 1) * U32j(S)))
+
+            # C1: pairs whose RIGHT member is this miss lane. The left
+            # neighbour is either the previous rank (also a miss) or a
+            # chain-matched lane whose values derive from anchor arrays.
+            t_l = jnp.where(tj == 0, S - 1, tj - 1)
+            g_lc = jnp.clip(jnp.where(tj == 0, gj - 1, gj), 0, A - 1)
+            tlu = t_l.astype(U32j)
+            left_miss = ((jnp.take(needh, g_lc) >> tlu) & 1) != 0
+            left_mat = ((jnp.take(mhalf, g_lc) >> tlu) & 1) != 0
+            firstj = ((jnp.take(fhalf, gj) >> tju) & 1) != 0
+            lfound = jnp.where(left_miss, jnp.roll(f2, 1), left_mat)
+            lsid = jnp.where(left_miss, jnp.roll(sid2, 1),
+                             jnp.take(asid, g_lc))
+            lkid = jnp.where(left_miss, jnp.roll(kid2, 1),
+                             jnp.take(akid, g_lc)
+                             + jnp.take(sgn_a, g_lc) * tlu)
+            lori = jnp.where(left_miss, jnp.roll(ori2, 1),
+                             jnp.take(aorient, g_lc))
+            c1 = (okb & f2 & lfound & (lane_j > 0) & ~firstj
+                  & (sid2 == lsid) & (ori2 == lori)
+                  & (kid2 == lkid + lori.astype(U32j)))
+
+            # C2: left member is this miss at row S-1, right is the NEXT
+            # group's chain-matched anchor (the only left-miss/right-match
+            # shape the cumprod chain permits)
+            g_rc = jnp.clip(gj + 1, 0, A - 1)
+            c2 = (okb & (tj == S - 1) & (gj + 1 < A) & f2
+                  & ((jnp.take(mhalf, g_rc) & 1) != 0)
+                  & ((jnp.take(fhalf, g_rc) & 1) == 0)
+                  & (jnp.take(asid, g_rc) == sid2)
+                  & (jnp.take(aorient, g_rc) == ori2)
+                  & (jnp.take(akid, g_rc) == kid2 + ori2.astype(U32j)))
+
+            n_valid = vg.sum().astype(U32j)
+            n_pos = matched.sum().astype(U32j) + f2.sum().astype(U32j)
+            n_ext = (ext_in + extg.sum().astype(U32j)
+                     + c1.sum().astype(U32j) + c2.sum().astype(U32j))
+            n_inv = count.astype(U32j) - n_valid
+            counters = jnp.stack([count.astype(U32j), n_pos, n_ext, n_inv])
+
+            l0_miss = (needh[0] & 1) != 0
+            lane0 = jnp.stack([
+                jnp.where(l0_miss, f2[0], matched[0, 0]).astype(U32j),
+                jnp.where(l0_miss, sid2[0], asid[0]),
+                jnp.where(l0_miss, kid2[0], akid[0]),
+                jnp.where(l0_miss, ori2[0], aorient[0]).astype(U32j)])
+
+            last = jnp.clip(count.astype(I32) - 1, 0, P_ - 1)
+            gl = last // S
+            tl = last % S
+            tlu2 = tl.astype(U32j)
+            nh_l = jnp.take(needh, gl)
+            l_missb = ((nh_l >> tlu2) & 1) != 0
+            rank_l = jnp.clip(jnp.take(basen, gl) + pc16(
+                nh_l & ((U32j(1) << tlu2) - U32j(1))).astype(I32), 0, Wc - 1)
+            m_l = jnp.take(matched.reshape(-1), tl * A + gl) != 0
+            lastv = jnp.stack([
+                jnp.where(l_missb, jnp.take(f2, rank_l), m_l).astype(U32j),
+                jnp.where(l_missb, jnp.take(sid2, rank_l),
+                          jnp.take(asid, gl)),
+                jnp.where(l_missb, jnp.take(kid2, rank_l),
+                          jnp.take(akid, gl) + jnp.take(sgn_a, gl) * tlu2),
+                jnp.where(l_missb, jnp.take(ori2, rank_l),
+                          jnp.take(aorient, gl)).astype(U32j)])
+            return jnp.stack([counters, lane0, lastv])
+
+        n_miss = miss.sum()
+
+        def derive_miss(_):
+            return jax.lax.cond(n_miss > P_ // 64, derive_full, derive_corr,
+                                jnp.int32(0))
+
         # one (3, 4) output array: the host folds a chunk with a SINGLE
         # round trip (3 separate fetches cost ~40ms each on slow links)
         if debug_stage == "fast":
             return derive_fast(jnp.int32(0))
         if debug_stage == "full":
             return derive_full(jnp.int32(0))
-        return jax.lax.cond(miss.any(), derive_full, derive_fast,
+        if debug_stage == "corr":
+            return derive_corr(jnp.int32(0))
+        return jax.lax.cond(miss.any(), derive_miss, derive_fast,
                             jnp.int32(0))
 
 
@@ -733,8 +875,20 @@ class _DeviceStream:
 
     def finalize(self):
         self.flush()
-        for out, fresh in self._inflight:
-            self._fold(out, fresh)
+        import jax
+
+        if len(self._inflight) > 1 and all(
+                isinstance(o, jax.Array) for o, _ in self._inflight):
+            # ONE device round trip for all queued chunk results (each
+            # separate (3,4) fetch pays the ~40ms tunnel round trip);
+            # ShardedStream's deferred _ChunkRow handles keep the per-chunk
+            # path (their group dispatch already batches)
+            outs = np.asarray(self._jnp.stack([o for o, _ in self._inflight]))
+            for out, (_, fresh) in zip(outs, self._inflight):
+                self._fold(out, fresh)
+        else:
+            for out, fresh in self._inflight:
+                self._fold(out, fresh)
         self._inflight = []
         r = self.report
         assert r["num_kmers"] == (

@@ -75,3 +75,50 @@ def test_sweep_min_l_script(tmp_path):
     assert all("error" not in r for r in rows), rows
     # lower MIN_L pushes more buckets into the skew index
     assert rows[0]["num_heavy_positions"] > rows[1]["num_heavy_positions"]
+
+
+def test_elias_fano_roundtrip():
+    """EF coder: random monotone sequences round-trip exactly and beat the
+    raw-u64 size (reference offsets.hpp:115-155 stores endpoints EF-coded)."""
+    from sshash_tpu.compact import ef_decode, ef_encode
+
+    rng = np.random.default_rng(11)
+    for n, span in [(1, 10), (100, 10_000), (5000, 1 << 33), (3, 1)]:
+        vals = np.sort(rng.integers(0, span, n).astype(np.uint64))
+        lo, hi, meta = ef_encode(vals)
+        got = ef_decode(lo, hi, meta)
+        assert got.dtype == np.uint64 and (got == vals).all(), (n, span)
+        if n >= 100:
+            assert lo.nbytes + hi.nbytes < vals.nbytes
+    lo, hi, meta = ef_encode(np.zeros(0, dtype=np.uint64))
+    assert len(ef_decode(lo, hi, meta)) == 0
+
+
+def test_endpoints_ef_on_disk_and_legacy_raw_load(small_dict, tmp_path):
+    """v1.3 files store endpoint arrays EF-coded; loading reproduces them
+    exactly, and pre-1.3 files (raw 'string_endpoints' array, no meta.ef)
+    still load."""
+    ix = small_dict.index
+    npz = str(tmp_path / "ix.npz")
+    small_dict.save(npz)
+    z = np.load(npz)
+    assert "string_endpoints" not in z.files
+    assert "string_endpoints_ef_low" in z.files
+    ld = Index.load(npz)
+    assert (np.asarray(ld.string_endpoints, dtype=np.uint64)
+            == np.asarray(ix.string_endpoints, dtype=np.uint64)).all()
+
+    # synthesize a legacy (pre-1.3) file: raw endpoints, no meta["ef"]
+    arrays, meta = ix._arrays_and_meta()
+    for k2 in list(arrays):
+        if k2.endswith("_ef_low") or k2.endswith("_ef_high"):
+            del arrays[k2]
+    del meta["ef"]
+    meta["version"] = [1, 2, 0]
+    arrays["string_endpoints"] = np.asarray(ix.string_endpoints, dtype=np.uint64)
+    arrays["meta_json"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    legacy = str(tmp_path / "legacy.npz")
+    np.savez_compressed(legacy, **arrays)
+    ld2 = Index.load(legacy)
+    assert (np.asarray(ld2.string_endpoints, dtype=np.uint64)
+            == np.asarray(ix.string_endpoints, dtype=np.uint64)).all()

@@ -213,3 +213,28 @@ def test_canonical_device_streaming_parity(dict_k31_canonical, reads_sample, tmp
     for key in ("num_kmers", "num_positive_kmers", "num_negative_kmers",
                 "num_invalid_kmers", "num_searches", "num_extensions"):
         assert host[key] == dev[key], (key, host, dev)
+
+
+def test_device_high_hit_compact_fallback_parity(dict_k31, tmp_path):
+    """High-hit device streaming (misses <= P/64 per chunk) takes the
+    compacted-correction derive branch (streaming.make_stream_step
+    derive_corr); its report must match the host engine bit-for-bit.
+    Workload: the index's own unitigs (all positive; the only fallback
+    lanes are read starts landing mid-group and unitig-end chain breaks)
+    plus a few mutated reads so found2=False lanes are exercised too."""
+    from conftest import SE_K31
+
+    reads = list(parse_reads(SE_K31, fmt="fasta"))[:200]
+    path = str(tmp_path / "hh.fa")
+    with open(path, "wb") as f:
+        for i, seq in enumerate(reads):
+            if i % 37 == 5:  # sprinkle negatives (still far below P/64)
+                seq = seq[:40] + b"T" * 31 + seq[40:]
+            f.write(b">u%d\n%s\n" % (i, seq))
+    host = streaming_query_from_file(dict_k31, path, fmt="fasta")
+    dev = streaming_query_from_file(dict_k31, path, fmt="fasta",
+                                    use_device=True, chunk=1 << 16)
+    assert host["num_positive_kmers"] > 0.9 * host["num_kmers"]
+    for key in ("num_kmers", "num_positive_kmers", "num_negative_kmers",
+                "num_invalid_kmers", "num_searches", "num_extensions"):
+        assert host[key] == dev[key], (key, host, dev)
