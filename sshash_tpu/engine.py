@@ -586,12 +586,13 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0,
     PMAX = max(128, B // 8)  # pair-window width; multiple windows when exceeded
     need = active0 & midload & ~found & (size > U32(1))
     nprobe = jnp.where(need, size - U32(1), U32(0)).astype(jnp.int32)
-    starts = P.prefix_sum_ex(nprobe)
+    # both compaction sums ride ONE two-column grouped scan
+    ps2 = P.prefix_sum_ex(jnp.stack([nprobe, need.astype(jnp.int32)], axis=1))
+    starts, rank = ps2[:, 0], ps2[:, 1]
     ends = starts + nprobe
     total = ends[-1]
 
     # compacted lane list: lane_ids[rank] = lane (rank in start order)
-    rank = P.prefix_sum_ex(need.astype(jnp.int32))
     lane_ids = jnp.zeros((B,), dtype=jnp.int32).at[
         jnp.where(need, rank, B)].set(jnp.arange(B, dtype=jnp.int32), mode="drop")
 
@@ -620,20 +621,22 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0,
             mrow[:, 1 + Wvm + Ww :], pvalid, lk, lkr,
             [_take(t, lane_u) for t in tries])
         # at most one candidate per lane can match (kmers are distinct in the
-        # SPSS), so scatter-max combines are exact
+        # SPSS), so scatter-max combines are exact; all result fields ride
+        # ONE (B, C) scatter (each B-wide scatter pass costs ~2 ns/lane)
         tgt = jnp.where(pm, lane, B)
-        hit = jnp.zeros((B,), dtype=U32).at[tgt].max(pko + U32(1), mode="drop")
-        orr = jnp.zeros((B,), dtype=I32).at[tgt].max(por + I32(2), mode="drop")
-        ssid = jnp.zeros((B,), dtype=U32).at[tgt].max(psid, mode="drop")
+        cols = [pko + U32(1), (por + I32(2)).astype(U32), psid]
+        if full:
+            cols += [psb, pse]
+        acc = jnp.zeros((B, len(cols)), dtype=U32).at[tgt].max(
+            jnp.stack(cols, axis=1), mode="drop")
+        hit = acc[:, 0]
         newly = hit > 0
         bko = jnp.where(newly, hit - U32(1), bko)
-        bor = jnp.where(newly, orr - I32(2), bor)
-        bsid = jnp.where(newly, ssid, bsid)
+        bor = jnp.where(newly, acc[:, 1].astype(I32) - I32(2), bor)
+        bsid = jnp.where(newly, acc[:, 2], bsid)
         if full:
-            ssb = jnp.zeros((B,), dtype=U32).at[tgt].max(psb, mode="drop")
-            sse = jnp.zeros((B,), dtype=U32).at[tgt].max(pse, mode="drop")
-            bsb = jnp.where(newly, ssb, bsb)
-            bse = jnp.where(newly, sse, bse)
+            bsb = jnp.where(newly, acc[:, 3], bsb)
+            bse = jnp.where(newly, acc[:, 4], bse)
         found = found | newly
         return found, bko, bor, bsid, bsb, bse
 

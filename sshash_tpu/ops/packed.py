@@ -271,19 +271,21 @@ def sliding_min_u64(h, w):
 
 
 def prefix_sum_ex(v):
-    """EXCLUSIVE prefix sum of an int32 (B,) vector via a two-level
-    grouped cumsum: intra-group (B/16, 16) axis-1 scan + one A-wide group
-    scan — much cheaper than a flat B-wide cumsum on TPU (the flat scan's
-    log-depth passes each cost a full-width pass). Falls back to the flat
-    form when B is not a multiple of 16."""
+    """EXCLUSIVE prefix sum over axis 0 of an int32 (B,) or (B, C) array
+    via a two-level grouped cumsum: intra-group (B/16, 16, ...) axis-1 scan
+    + one A-wide group scan — much cheaper than a flat B-wide cumsum on TPU
+    (the flat scan's log-depth passes each cost a full-width pass). A (B, C)
+    input scans all C columns in ONE pass (callers needing several
+    compaction sums stack them). Falls back to the flat form when B is not
+    a multiple of 16."""
     B = v.shape[0]
     if B % 16:
-        return jnp.cumsum(v) - v
-    g = v.reshape(B // 16, 16)
+        return jnp.cumsum(v, axis=0) - v
+    g = v.reshape(B // 16, 16, *v.shape[1:])
     intra = jnp.cumsum(g, axis=1)  # inclusive within group
     tot = intra[:, -1]
-    base = jnp.cumsum(tot) - tot  # exclusive group bases (A-wide)
-    return (base[:, None] + intra - g).reshape(B)
+    base = jnp.cumsum(tot, axis=0) - tot  # exclusive group bases (A-wide)
+    return (base[:, None] + intra - g).reshape(v.shape)
 
 
 def crc32_word(x):
