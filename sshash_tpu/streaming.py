@@ -234,7 +234,8 @@ def _host_lookup(index):
     return fn
 
 
-def make_stream_step(cfg, lookup, P_, R_, swin=None, debug_stage=None):
+def make_stream_step(cfg, lookup, P_, R_, swin=None, debug_stage=None,
+                     packed_cw=None):
     """Build the per-chunk anchored seed-and-extend streaming step
     (jit-ready). Parameterized so the sharded engine can reuse it:
 
@@ -245,6 +246,11 @@ def make_stream_step(cfg, lookup, P_, R_, swin=None, debug_stage=None):
       debug_stage: profiling hook (scripts/profile_stream_stages.py) —
         'masks' | 'anchor' | 'chain' | 'fast' | 'full' truncates the step
         after that phase / forces a derive branch (output shape unchanged)
+      packed_cw: when set (the char-buffer word count CW), the returned fn
+        takes ONE uint32 buffer instead of 5 arrays + 2 scalars — every
+        separate host->device transfer pays a tunnel round trip, so chunks
+        upload a single [count, nreads, rnpos, rfirst, valid, words] vector
+        and the step slices it at static offsets (free under XLA fusion)
     """
     import jax
     import jax.numpy as jnp
@@ -671,8 +677,19 @@ def make_stream_step(cfg, lookup, P_, R_, swin=None, debug_stage=None):
         return jax.lax.cond(miss.any(), derive_miss, derive_fast,
                             jnp.int32(0))
 
+    if packed_cw is None:
+        return step
 
-    return step
+    o0 = 2
+    o1 = o0 + R_
+    o2 = o1 + R_ // 32 + 1
+    o3 = o2 + P_ // 32 + 1
+
+    def step_packed(arrs, packed):
+        return step(arrs, packed[o3:o3 + packed_cw], packed[o0:o1],
+                    packed[o1:o2], packed[o2:o3], packed[0], packed[1])
+
+    return step_packed
 
 
 class _DeviceStream:
@@ -695,13 +712,23 @@ class _DeviceStream:
         cache = getattr(engine, "_stream_steps", None)
         if cache is None:
             cache = engine._stream_steps = {}
-        if (self.P, self.R) in cache:
-            self._step = cache[(self.P, self.R)]
-            self._jnp = jnp
-            return
-        self._step = cache[(self.P, self.R)] = jax.jit(
-            make_stream_step(cfg, make_lookup(cfg), self.P, self.R))
+        if (self.P, self.R) not in cache:
+            cache[(self.P, self.R)] = jax.jit(make_stream_step(
+                cfg, make_lookup(cfg), self.P, self.R, packed_cw=self.CW))
+        self._step_fn = cache[(self.P, self.R)]
         self._jnp = jnp
+
+    def _step(self, arrs, words32, rnpos, rfirst, valid_bits, count, nreads):
+        """Dispatch one chunk: pack all per-chunk inputs into ONE uint32
+        upload (each separate transfer pays a ~40ms tunnel round trip)."""
+        buf = np.empty(self._o3 + self.CW, dtype=np.uint32)
+        buf[0] = count
+        buf[1] = nreads
+        buf[2:self._o1] = rnpos
+        buf[self._o1:self._o2] = rfirst
+        buf[self._o2:self._o3] = valid_bits
+        buf[self._o3:] = words32
+        return self._step_fn(self.engine.arrs, self._jnp.asarray(buf))
 
     def _init_host(self, k, pmax, rmax_shift):
         """Host-side chunking state (shared with parallel.ShardedStream)."""
@@ -721,6 +748,10 @@ class _DeviceStream:
         # flush check (advisor r2: an unconditional P-position split
         # overflowed this buffer for k <= 16, corrupting the native encoder).
         self.CW = self._cw_words(pmax, self.R, k)
+        # packed single-upload layout offsets (see make_stream_step)
+        self._o1 = 2 + self.R
+        self._o2 = self._o1 + self.R // 32 + 1
+        self._o3 = self._o2 + pmax // 32 + 1
         self._seqs = []  # (bytes, is_read_start)
         self._pending = 0
         self._chars = 0
@@ -767,8 +798,6 @@ class _DeviceStream:
     def flush(self):
         if not self._pending:
             return
-        import jax.numpy as jnp
-
         from . import native
 
         k = self.k
@@ -842,10 +871,8 @@ class _DeviceStream:
         rfirst = np.zeros(R // 32 + 1, dtype=np.uint32)
         rfirst[: (len(fb) + 3) // 4] = np.pad(fb, (0, (-len(fb)) % 4)).view(np.uint32)
 
-        out = self._step(
-            self.engine.arrs, jnp.asarray(words32),
-            jnp.asarray(rnpos), jnp.asarray(rfirst), jnp.asarray(valid_bits),
-            jnp.uint32(count), jnp.uint32(len(lens)))
+        out = self._step(self.engine.arrs, words32, rnpos, rfirst,
+                         valid_bits, np.uint32(count), np.uint32(len(lens)))
         # defer the scalar fetch: dispatches stay queued on the device so
         # consecutive chunks pipeline; results fold at finalize()
         self._inflight.append((out, bool(starts_flag[0])))
