@@ -164,9 +164,10 @@ def _device_arrays(index):
         "cw_row": cw_row,
         "mid_rows": mid_rows,
         "heavy_rows": heavy_rows,
-        # hot-path tables expand to uint32 at load: the at-rest form is
-        # compact (mphf.py/compact.py) but gathers must stay single-round
-        "pilots": _nz(_pilots_u32(f)),
+        # hot-path tables expand at load to the smallest divisor-of-32
+        # field width: the gather stays single-round (a field never
+        # straddles a word) and the replicated-at-scale pilots shrink 2-8x
+        "pilots": _nz(_pack_pilots(_pilots_u32(f), pilot_width(f))),
     }
     from .mphf import PartitionedMPHF
 
@@ -192,6 +193,10 @@ def _device_arrays(index):
                              for p in index.skew_partitions if p.mphf.n > 0)
                      and any(p.mphf.n > 0 for p in index.skew_partitions))
     sk_pilots, sk_aux, sk_seedrows = [], [], []
+    # one static field width across size classes (pilot_off stays a plain
+    # word offset); each partition packs to whole words
+    sk_w = max([pilot_width(p.mphf)
+                for p in index.skew_partitions[:_NUM_SKEW]], default=32)
     params = {name: np.zeros(_NUM_SKEW, dtype=np.uint32) for name in
               ("table", "nbuckets", "seedmix_hi", "seedmix_lo",
                "pilot_off", "pos_off", "np2", "seed_off")}
@@ -220,7 +225,7 @@ def _device_arrays(index):
         else:
             params["table"][i] = max(1, fp.table_size)
             params["nbuckets"][i] = fp.num_buckets
-        sk_pilots.append(_pilots_u32(fp))
+        sk_pilots.append(_pack_pilots(_pilots_u32(fp), sk_w))
         sk_aux.append(_expand_to_slots(part.hindex if use_hrows
                                        else part.positions, fp))
     if use_part_skew:
@@ -252,6 +257,52 @@ def _pilots_u32(mphf):
 
     p = mphf.pilots
     return p.to_array(np.uint32) if isinstance(p, CompactVector) else p
+
+
+def pilot_width(mphf):
+    """Device pilot field width: the smallest divisor of 32 in {4,8,16,32}
+    that fits every pilot. Divisor widths never straddle a u32 word, so the
+    packed read is the SAME single gather plus a shift+mask — the pilots
+    table (the big replicated array at multi-chip scale) shrinks 2-8x."""
+    from .compact import CompactVector
+
+    p = mphf.pilots
+    if isinstance(p, CompactVector):
+        b = p.width
+    else:
+        b = int(np.max(p, initial=0)).bit_length() if len(p) else 1
+    for w in (4, 8, 16):
+        if b <= w:
+            return w
+    return 32
+
+
+def _pack_pilots(vals, w):
+    """Pack u32 pilot values (< 2^w) into u32 words, 32//w per word,
+    little-end first; pads to a whole word."""
+    if w == 32:
+        return vals.astype(np.uint32)
+    ppw = 32 // w
+    v = np.pad(vals, (0, (-len(vals)) % ppw)).astype(np.uint32)
+    v = v.reshape(-1, ppw) << (np.arange(ppw, dtype=np.uint32) * w)
+    return np.bitwise_or.reduce(v, axis=1)
+
+
+def _pilot_read(cfg_w, words, bucket, word_off=None):
+    """pilot = packed_words[word_off + bucket] at static field width cfg_w
+    (word_off is a per-lane WORD offset for concatenated per-partition
+    tables; each partition's segment is whole-word aligned)."""
+    if cfg_w == 32:
+        idx = bucket if word_off is None else word_off + bucket
+        return _take(words, idx)
+    ppw = 32 // cfg_w
+    shift = ppw.bit_length() - 1
+    widx = bucket >> U32(shift)
+    if word_off is not None:
+        widx = word_off + widx
+    word = _take(words, widx)
+    sub = (bucket & U32(ppw - 1)) * U32(cfg_w)
+    return (word >> sub) & U32((1 << cfg_w) - 1)
 
 
 def _nz(x):
@@ -296,6 +347,10 @@ class StaticCfg:
         self.mphf_table = max(1, f.table_size)
         self.mphf_nbuckets = f.num_buckets
         self.mphf_seedmix = int(H.splitmix64(np.uint64(f.seed)))
+        self.pilot_w = pilot_width(f)
+        self.sk_pilot_w = max([pilot_width(p.mphf)
+                               for p in index.skew_partitions[:_NUM_SKEW]],
+                              default=32)
         if self.mphf_partitioned:
             self.mphf_P = f.num_partitions
             self.mphf_part_table = max(1, f.part_table)
@@ -350,12 +405,12 @@ def mphf_eval_minimizer(cfg, arrs, minval):
         h2 = u.splitmix64(u.xor(mh, u.u64(row[:, 0], row[:, 1])))
         bucket = pid * U32(cfg.mphf_part_buckets) + u.mulhi32(
             h2.hi, U32(cfg.mphf_part_buckets))
-        pilot = _take(arrs["pilots"], bucket)
+        pilot = _pilot_read(cfg.pilot_w, arrs["pilots"], bucket)
         local = u.mulhi32(u.fmix32(h2.lo ^ u.fmix32(pilot)),
                           U32(cfg.mphf_part_table))
         return pid * U32(cfg.mphf_part_table) + local
     bucket = u.mulhi32(mh.hi, U32(cfg.mphf_nbuckets))
-    pilot = _take(arrs["pilots"], bucket)
+    pilot = _pilot_read(cfg.pilot_w, arrs["pilots"], bucket)
     return u.mulhi32(u.fmix32(mh.lo ^ u.fmix32(pilot)), U32(cfg.mphf_table))
 
 
@@ -375,12 +430,13 @@ def skew_slot(cfg, arrs, kmers32, pid):
                        axis=0, mode="clip")
         h2 = u.splitmix64(u.xor(h, u.u64(row[:, 0], row[:, 1])))
         bucket = pid2 * nb + u.mulhi32(h2.hi, nb)
-        pilot = _take(arrs["sk_pilots"],
-                      _take(arrs["sk_pilot_off"], pid) + bucket)
+        pilot = _pilot_read(cfg.sk_pilot_w, arrs["sk_pilots"], bucket,
+                            word_off=_take(arrs["sk_pilot_off"], pid))
         local = u.mulhi32(u.fmix32(h2.lo ^ u.fmix32(pilot)), table)
         return pid2 * table + local
     bucket = u.mulhi32(h.hi, nb)
-    pilot = _take(arrs["sk_pilots"], _take(arrs["sk_pilot_off"], pid) + bucket)
+    pilot = _pilot_read(cfg.sk_pilot_w, arrs["sk_pilots"], bucket,
+                        word_off=_take(arrs["sk_pilot_off"], pid))
     return u.mulhi32(u.fmix32(h.lo ^ u.fmix32(pilot)), table)
 
 
