@@ -926,10 +926,23 @@ class DeviceEngine:
         self._access = jax.jit(make_access(self.cfg))
         self._weight = jax.jit(make_weight(self.cfg)) if index.weights is not None else None
         self._neighbours = jax.jit(make_neighbours(self.cfg))
+        # SSHASH_DEBUG=1: sanitizer mode (debug.py) — postcondition-checked
+        # lookups + NaN trapping, the reference's -D SSHASH_USE_SANITIZERS
+        # analog (CMakeLists.txt:39-41)
+        import os
+
+        self._debug = os.environ.get("SSHASH_DEBUG", "") not in ("", "0")
+        if self._debug:
+            from .debug import checkified_lookup
+
+            jax.config.update("jax_debug_nans", True)
+            self._ck_lookup = checkified_lookup(self)
 
     # ---- raw jitted entry points (device in/out)
 
     def lookup_device(self, kmers32):
+        if self._debug:
+            return self._ck_lookup(kmers32)
         return self._lookup(self.arrs, kmers32)
 
     def access_device(self, ids_u32):
