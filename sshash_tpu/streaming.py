@@ -235,7 +235,7 @@ def _host_lookup(index):
 
 
 def make_stream_step(cfg, lookup, P_, R_, swin=None, debug_stage=None,
-                     packed_cw=None):
+                     packed_cw=None, all_valid=False):
     """Build the per-chunk anchored seed-and-extend streaming step
     (jit-ready). Parameterized so the sharded engine can reuse it:
 
@@ -685,6 +685,23 @@ def make_stream_step(cfg, lookup, P_, R_, swin=None, debug_stage=None,
     o2 = o1 + R_ // 32 + 1
     o3 = o2 + P_ // 32 + 1
 
+    if all_valid:
+        # clean-data variant: the valid mask region is NOT uploaded (it is
+        # ~25% of a long-read chunk's bytes); lanes < count are all valid,
+        # so the mask derives from the count scalar on device
+        def step_packed_av(arrs, packed):
+            cnt = packed[0]
+            w = jnp.arange(P_ // 32 + 1, dtype=U32j)
+            full = cnt >> U32j(5)
+            rem = cnt & U32j(31)
+            vb = jnp.where(w < full, U32j(0xFFFFFFFF),
+                           jnp.where(w == full,
+                                     (U32j(1) << rem) - U32j(1), U32j(0)))
+            return step(arrs, packed[o2:o2 + packed_cw], packed[o0:o1],
+                        packed[o1:o2], vb, cnt, packed[1])
+
+        return step_packed_av
+
     def step_packed(arrs, packed):
         return step(arrs, packed[o3:o3 + packed_cw], packed[o0:o1],
                     packed[o1:o2], packed[o2:o3], packed[0], packed[1])
@@ -720,15 +737,39 @@ class _DeviceStream:
 
     def _step(self, arrs, words32, rnpos, rfirst, valid_bits, count, nreads):
         """Dispatch one chunk: pack all per-chunk inputs into ONE uint32
-        upload (each separate transfer pays a ~40ms tunnel round trip)."""
-        buf = np.empty(self._o3 + self.CW, dtype=np.uint32)
+        upload (each separate transfer pays a ~40ms tunnel round trip).
+        All-valid chunks (clean ACGT data — the common case) skip the valid
+        mask region entirely; the device derives it from count."""
+        if int(np.bitwise_count(valid_bits).sum()) == int(count):
+            buf = np.empty(self._o2 + self.CW, dtype=np.uint32)
+            buf[self._o2:] = words32
+            fn = self._av_step()
+        else:
+            buf = np.empty(self._o3 + self.CW, dtype=np.uint32)
+            buf[self._o2:self._o3] = valid_bits
+            buf[self._o3:] = words32
+            fn = self._step_fn
         buf[0] = count
         buf[1] = nreads
         buf[2:self._o1] = rnpos
         buf[self._o1:self._o2] = rfirst
-        buf[self._o2:self._o3] = valid_bits
-        buf[self._o3:] = words32
-        return self._step_fn(self.engine.arrs, self._jnp.asarray(buf))
+        return fn(self.engine.arrs, self._jnp.asarray(buf))
+
+    def _av_step(self):
+        """Lazily compiled all-valid variant (second shape per (P, R); only
+        the variants a workload actually hits pay a compile)."""
+        import jax
+
+        from .engine import make_lookup
+
+        cache = self.engine._stream_steps
+        key = (self.P, self.R, "av")
+        if key not in cache:
+            cfg = self.engine.cfg
+            cache[key] = jax.jit(make_stream_step(
+                cfg, make_lookup(cfg), self.P, self.R, packed_cw=self.CW,
+                all_valid=True))
+        return cache[key]
 
     def _init_host(self, k, pmax, rmax_shift):
         """Host-side chunking state (shared with parallel.ShardedStream)."""
