@@ -1,0 +1,29 @@
+#!/bin/bash
+# Round-3 TPU measurement session: run every pending experiment in one
+# tunnel window, most valuable first (the tunnel can die at any time).
+# Usage: bash scripts/r3_tpu_session.sh [outdir]
+set -u
+OUT=${1:-/tmp/r3tpu}
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+run() { # run <name> <timeout_s> <cmd...>
+  local name=$1 to=$2; shift 2
+  echo "=== $name ($(date +%T)) ===" | tee -a "$OUT/session.log"
+  timeout "$to" "$@" >"$OUT/$name.log" 2>&1
+  echo "exit=$? $(tail -1 "$OUT/$name.log")" | tee -a "$OUT/session.log"
+}
+
+# 1. headline driver bench (lookup all axes + streaming high/low hit)
+run bench 1200 python bench.py
+# 2. streaming chunk sweep (packed + all-valid uploads, pipelining test)
+run stream3 1500 python scripts/exp_r3_stream3.py
+# 3. stream kernel + e2e decomposition
+run stream2 1200 python scripts/exp_r3_stream2.py
+# 4. lookup B/m sweep (pair-sweep commit validation, 8M lanes)
+run lookup3 1500 python scripts/exp_r3_lookup3.py
+# 5. stream kernel stage budget
+run stages 1200 python scripts/profile_stream_stages.py
+# 6. re-run bench for the record after everything is warm/compiled
+run bench2 900 python bench.py
+echo "ALL DONE $(date +%T)" | tee -a "$OUT/session.log"
