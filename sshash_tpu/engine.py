@@ -71,6 +71,14 @@ def _expand_to_slots(arr, mphf):
 
 def _device_arrays(index):
     """Host Index -> device pytree (all uint32)."""
+    # device offsets/ids are uint32 (no int64 on the VPU path); past this a
+    # build needs per-shard offset rebasing — fail loudly, never wrap
+    if index.num_chars >= 1 << 32 or index.num_kmers >= 1 << 32:
+        raise ValueError(
+            f"device engines address chars/ids as uint32; this index has "
+            f"{index.num_chars} chars / {index.num_kmers} kmers (>= 2^32). "
+            f"Split the input or use multiple indexes until per-shard "
+            f"offset rebasing lands.")
     from .index import decode_codeword
 
     status, a, b = decode_codeword(index.codewords)

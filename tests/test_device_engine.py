@@ -134,3 +134,17 @@ def test_skew_index_device_parity(rng):
         wantn = oracle.lookup(idx, neg)
         gotn = eng.lookup(neg)
         np.testing.assert_array_equal(gotn["kmer_id"], wantn["kmer_id"])
+
+
+def test_u32_ceiling_guard(dict_k31):
+    """A >= 2^32-char/kmer index must fail loudly at device load (uint32
+    offset space), not wrap silently."""
+    import dataclasses
+
+    import pytest
+
+    from sshash_tpu.engine import DeviceEngine
+
+    big = dataclasses.replace(dict_k31.index, num_chars=1 << 32)
+    with pytest.raises(ValueError, match="2\\^32"):
+        DeviceEngine(big)
