@@ -24,6 +24,8 @@ run stream2 1200 python scripts/exp_r3_stream2.py
 run lookup3 1500 python scripts/exp_r3_lookup3.py
 # 5. stream kernel stage budget
 run stages 1200 python scripts/profile_stream_stages.py
+# 5b. tie fold vs cond retry A/B + 8M lanes
+run lookup4 1500 python scripts/exp_r3_lookup4.py
 # 6. re-run bench for the record after everything is warm/compiled
 run bench2 900 python bench.py
 echo "ALL DONE $(date +%T)" | tee -a "$OUT/session.log"

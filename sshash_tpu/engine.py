@@ -750,7 +750,10 @@ def make_lookup(cfg, fields="full"):
             tie = u.equal(mv_r, mv_f)
             mv1 = u.select(rc_first, mv_r, mv_f)
             mp1 = jnp.where(rc_first, mp_r, mp_f)
-            if (cfg.max_start_word + 1) * cfg.W <= 8:
+            import os
+
+            tie_retry = os.environ.get("SSHASH_TIE_RETRY", "") not in ("", "0")
+            if (cfg.max_start_word + 1) * cfg.W <= 8 and not tie_retry:
                 # a TIE (both strand minimizer values equal) probes the same
                 # bucket, so the reference's retry (src/dictionary.cpp:34-41)
                 # folds into two extra tie-gated position tries — no second
@@ -761,7 +764,11 @@ def make_lookup(cfg, fields="full"):
             else:
                 # wide kmers: the 4-try unroll blows up XLA compile times
                 # (k>~55, cf. the minimizer-fusion cap in ops/packed.py);
-                # ties are rare, so a dense masked retry probe under cond
+                # ties are rare, so a dense masked retry probe under cond.
+                # SSHASH_TIE_RETRY=1 forces this shape on narrow kmers too:
+                # it trades the fold's 2 extra ALWAYS-evaluated full-width
+                # verify tries for a cond that is almost never taken
+                # (A/B'd on TPU, scripts/exp_r3_lookup4.py)
                 res = lookup_with_info(cfg, arrs, kmers32, kmers_rc32, mv1,
                                        mp1, all_active, fields)
                 retry = tie & ~res["found"]
