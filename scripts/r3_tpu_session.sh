@@ -15,7 +15,7 @@ run() { # run <name> <timeout_s> <cmd...>
 }
 
 # 1. headline driver bench (lookup all axes + streaming high/low hit)
-run bench 1200 python bench.py
+run bench 3000 python bench.py
 # 2. streaming chunk sweep (packed + all-valid uploads, pipelining test)
 run stream3 1500 python scripts/exp_r3_stream3.py
 # 3. stream kernel + e2e decomposition
