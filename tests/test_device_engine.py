@@ -148,3 +148,26 @@ def test_u32_ceiling_guard(dict_k31):
     big = dataclasses.replace(dict_k31.index, num_chars=1 << 32)
     with pytest.raises(ValueError, match="2\\^32"):
         DeviceEngine(big)
+
+
+def test_tie_retry_variant_matches(dict_k31_canonical, rng, monkeypatch):
+    """SSHASH_TIE_RETRY=1 (cond-gated tie retry) is bit-exact vs the
+    default 4-try fold on a 50% RC + negative canonical batch."""
+    import numpy as np
+
+    from sshash_tpu import kmer as K
+    from sshash_tpu import oracle
+    from sshash_tpu.engine import DeviceEngine
+
+    idx = dict_k31_canonical.index
+    ids = rng.integers(0, idx.num_kmers, 4096)
+    km = oracle.access(idx, ids)
+    km[::2] = K.revcomp_kmers(km[::2], 31)
+    neg = rng.integers(0, 1 << 61, (1024, 1), dtype=np.uint64)
+    allk = np.concatenate([km, neg])
+
+    base = dict_k31_canonical.to_device().lookup(allk)
+    monkeypatch.setenv("SSHASH_TIE_RETRY", "1")
+    alt = DeviceEngine(idx).lookup(allk)
+    for key in ("kmer_id", "kmer_orientation", "string_id", "kmer_offset"):
+        np.testing.assert_array_equal(alt[key], base[key], err_msg=key)
