@@ -45,11 +45,37 @@ def main():
     ds.flush()
     args = captured[0]
     cnt = int(args[5])
-    np.asarray(real_step(*args))  # warm
+    np.asarray(real_step(*args))  # warm (compiles the packed step)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         np.asarray(real_step(*args))
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps({"stage": "step_with_upload", "ms": round(best * 1e3, 1),
+                      "ns_per_pos": round(best / cnt * 1e9, 1),
+                      "kmers_per_s": round(cnt / best)}), flush=True)
+
+    # true kernel-only: pack once, keep the buffer device-resident
+    import jax.numpy as jnp
+    words32, rnpos, rfirst, valid_bits = args[1], args[2], args[3], args[4]
+    if int(np.bitwise_count(valid_bits).sum()) == cnt:
+        buf = np.empty(ds._o2 + ds.CW, np.uint32)
+        buf[ds._o2:] = words32
+        fn = ds._av_step()
+    else:
+        buf = np.empty(ds._o3 + ds.CW, np.uint32)
+        buf[ds._o2:ds._o3] = valid_bits
+        buf[ds._o3:] = words32
+        fn = ds._step_fn
+    buf[0], buf[1] = args[5], args[6]
+    buf[2:ds._o1] = rnpos
+    buf[ds._o1:ds._o2] = rfirst
+    dbuf = jnp.asarray(buf)
+    np.asarray(fn(eng.arrs, dbuf))  # warm + ensure resident
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(fn(eng.arrs, dbuf))
         best = min(best, time.perf_counter() - t0)
     print(json.dumps({"stage": "kernel_only", "ms": round(best * 1e3, 1),
                       "ns_per_pos": round(best / cnt * 1e9, 1),

@@ -49,6 +49,12 @@ def main():
     args = captured[0]  # the one full-P chunk
     print(json.dumps({"chunks": len(captured),
                       "count": int(args[5])}), flush=True)
+    # flush hands the step HOST arrays since the packed-upload refactor;
+    # device_put once so stage timings stay kernel-only
+    import jax.numpy as jnp
+
+    args = tuple(jnp.asarray(a) if isinstance(a, np.ndarray) else a
+                 for a in args)
 
     stages = sys.argv[1:] or ["masks", "anchor", "chain", "fast",
                               "dfl_lanes", "dfl_pos", "dfl_head", "dfl_seg",
