@@ -245,6 +245,38 @@ int64_t tuple_scan(const uint8_t* codes, int64_t n_chars,
 // valid iff its k chars are all ACGT/acgt). Replaces a multi-pass NumPy
 // encode that dominated warm streaming time on slow hosts. Both output
 // buffers must be zeroed by the caller. Returns the total position count.
+//
+// Hot path: 16 chars per iteration via SWAR. The 2-bit sshash code of an
+// ACGT/acgt byte c is exactly (c >> 1) & 3 (A->00 C->01 T->10 G->11, the
+// same table the scalar switch encodes), so a block packs with two
+// multiply-gathers per 8 bytes; validity is a 4-constant zero-byte test.
+// (The reference packs 32 bases/iter with AVX2 movemask+pdep,
+// encode_strings.cpp:13-40 — this is the portable equivalent.)
+
+static inline uint64_t load_u64(const uint8_t* p) {
+    uint64_t v;
+    std::memcpy(&v, p, 8);
+    return v;  // little-endian hosts only (same assumption NumPy relies on)
+}
+
+// 0x80-mask of the bytes of y equal to the repeated byte q.
+static inline uint64_t eq_bytes(uint64_t y, uint64_t q) {
+    const uint64_t z = y ^ q;
+    return (z - 0x0101010101010101ull) & ~z & 0x8080808080808080ull;
+}
+
+// 16 bits of packed 2-bit codes for 8 chars (char j -> bits 2j).
+static inline uint32_t pack8(uint64_t v) {
+    const uint64_t x = (v >> 1) & 0x0303030303030303ull;
+    // b0..b3 (at bits 8i) gather to bits 24..31: terms land at 24+2i and
+    // cross terms stay out of [24,32) with no carries (fields are 2 bits,
+    // 2 apart)
+    const uint64_t M = 0x01041040ull;
+    const uint32_t lo = (uint32_t)((((x & 0xFFFFFFFFull) * M) >> 24) & 0xFF);
+    const uint32_t hi = (uint32_t)(((x >> 32) * M >> 24) & 0xFF);
+    return lo | (hi << 8);
+}
+
 int64_t encode_stream(const uint8_t* seq,
                       const int64_t* starts,  // per-segment char start
                       const int64_t* lens,    // per-segment char length
@@ -252,12 +284,43 @@ int64_t encode_stream(const uint8_t* seq,
                       uint32_t* words32,
                       uint32_t* valid_bits)
 {
+    const uint64_t ALL = 0x8080808080808080ull;
     int64_t t = 0;
     for (int64_t s = 0; s < nseg; ++s) {
         const int64_t b = starts[s], L = lens[s];
         int64_t run = 0;
-        for (int64_t i = 0; i < L; ++i) {
-            const uint8_t ch = seq[b + i];
+        int64_t i = 0;
+        while (i < L) {
+            const int64_t g = b + i;
+            // block path: one whole 16-aligned words32 word, every position
+            // in it exists (i >= k-1) and — given 16 valid chars — is valid
+            // (entering run >= k-1 makes run(i) >= k throughout the block)
+            if ((g & 15) == 0 && i + 16 <= L && i >= k - 1 && run >= k - 1) {
+                const uint64_t v0 = load_u64(seq + g), v1 = load_u64(seq + g + 8);
+                const uint64_t y0 = v0 | 0x2020202020202020ull;
+                const uint64_t y1 = v1 | 0x2020202020202020ull;
+                const uint64_t ok0 =
+                    eq_bytes(y0, 0x6161616161616161ull) |  // a
+                    eq_bytes(y0, 0x6363636363636363ull) |  // c
+                    eq_bytes(y0, 0x6767676767676767ull) |  // g
+                    eq_bytes(y0, 0x7474747474747474ull);   // t
+                const uint64_t ok1 =
+                    eq_bytes(y1, 0x6161616161616161ull) |
+                    eq_bytes(y1, 0x6363636363636363ull) |
+                    eq_bytes(y1, 0x6767676767676767ull) |
+                    eq_bytes(y1, 0x7474747474747474ull);
+                if (ok0 == ALL && ok1 == ALL) {
+                    words32[g >> 4] |= pack8(v0) | ((uint32_t)pack8(v1) << 16);
+                    const uint32_t sh = (uint32_t)(t & 31);
+                    valid_bits[t >> 5] |= 0xFFFFu << sh;
+                    if (sh > 16) valid_bits[(t >> 5) + 1] |= 0xFFFFu >> (32 - sh);
+                    t += 16;
+                    run += 16;
+                    i += 16;
+                    continue;
+                }
+            }
+            const uint8_t ch = seq[g];
             uint32_t code = 0;
             bool okc = true;
             switch (ch) {
@@ -268,12 +331,12 @@ int64_t encode_stream(const uint8_t* seq,
                 default: okc = false; break;
             }
             run = okc ? run + 1 : 0;
-            const int64_t g = b + i;
             words32[g >> 4] |= code << ((g & 15) * 2);
             if (i >= k - 1) {
                 if (run >= k) valid_bits[t >> 5] |= 1u << (t & 31);
                 ++t;
             }
+            ++i;
         }
     }
     return t;

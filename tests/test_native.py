@@ -54,6 +54,54 @@ def test_pilot_search_matches_numpy():
     assert len(np.unique(pos)) == len(keys)
 
 
+def test_encode_stream_matches_numpy():
+    """The SWAR 16-chars/iter fast path of encode_stream must be
+    bit-identical to the NumPy fallback, including mixed case, invalid
+    chars landing mid-block, segment boundaries off 16-char alignment, and
+    the k-1 warmup run at every segment start."""
+    rng = np.random.default_rng(0xE5C0)
+    ALPH = np.frombuffer(b"ACGTacgtNnX-", dtype=np.uint8)
+
+    def numpy_ref(joined, cstarts, lens, k, CW):
+        words32 = np.zeros(CW, dtype=np.uint32)
+        npos = lens - k + 1
+        total = int(npos.sum())
+        valid_bits = np.zeros(total // 32 + 2, dtype=np.uint32)
+        codes, ok = K.encode_chars(joined)
+        w32 = K.pack_words_to_u32(K.pack_codes(np.where(ok, codes, 0)))
+        words32[: len(w32)] = w32
+        pstart = np.cumsum(npos) - npos
+        pos_all = np.repeat(cstarts, npos) + (
+            np.arange(total) - np.repeat(pstart, npos))
+        okc = np.zeros(len(ok) + 1, dtype=np.int64)
+        np.cumsum(ok, out=okc[1:])
+        valid = (okc[pos_all + k] - okc[pos_all]) == k
+        vb = np.packbits(valid, bitorder="little")
+        valid_bits[: (len(vb) + 3) // 4] = np.pad(
+            vb, (0, (-len(vb)) % 4)).view(np.uint32)
+        return words32, valid_bits, total
+
+    for trial in range(60):
+        k = int(rng.integers(2, 40))
+        nseg = int(rng.integers(1, 6))
+        lens = rng.integers(k, 200, nseg).astype(np.int64)
+        ends = np.cumsum(lens)
+        cstarts = ends - lens
+        n = int(ends[-1])
+        p_junk = [0.0, 0.02, 0.3][trial % 3]
+        idx = rng.integers(0, 4, n) + np.where(rng.random(n) < 0.2, 4, 0)
+        idx = np.where(rng.random(n) < p_junk, rng.integers(8, 12, n), idx)
+        joined = ALPH[idx].tobytes()
+        CW = (n + 15) // 16 + 2
+        w_ref, v_ref, tot = numpy_ref(joined, cstarts, lens, k, CW)
+        w_nat = np.zeros(CW, dtype=np.uint32)
+        v_nat = np.zeros(len(v_ref), dtype=np.uint32)
+        t = native.encode_stream(joined, cstarts, lens, k, w_nat, v_nat)
+        assert t == tot
+        np.testing.assert_array_equal(w_nat, w_ref)
+        np.testing.assert_array_equal(v_nat, v_ref)
+
+
 def test_stream_build_chunking_bit_identical():
     """Multi-chunk streaming build (carry-aligned packing + tuple rebase)
     must equal the single-chunk result, and the whole streaming path must
