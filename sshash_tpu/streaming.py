@@ -69,14 +69,12 @@ def parse_reads(path, fmt=None, multiline=False):
 
     with _open(path) as f:
         if fmt == "fastq":
-            while True:
-                header = f.readline()
-                if not header:
-                    break
-                seq = f.readline().rstrip(b"\r\n")
-                f.readline()  # '+'
-                f.readline()  # scores
-                yield seq
+            # block-bulk read + one C-speed split per block (per-record
+            # readline() cost ~225ms for 10K records of the bundled SRR
+            # file on the throttled host — more than the whole device
+            # budget of the low-hit streaming row). Line phase carries
+            # across blocks so records never split.
+            yield from _grouped_lines(f, group=4, seq_line=1)
         elif multiline:
             # bulk read + C-speed translate: the per-line Python loop cost
             # ~90ms on the 4.9MB salmonella genome (throttled host), a
@@ -93,12 +91,33 @@ def parse_reads(path, fmt=None, multiline=False):
                 if seq:
                     yield seq
         else:  # 2-line fasta
-            while True:
-                header = f.readline()
-                if not header:
-                    break
-                seq = f.readline().rstrip(b"\r\n")
-                yield seq
+            yield from _grouped_lines(f, group=2, seq_line=1)
+
+
+def _grouped_lines(f, group, seq_line, block=1 << 25):
+    """Yield line `seq_line` of every `group`-line record, reading in
+    C-speed bulk blocks with a line-phase carry (so a record spanning a
+    block boundary is never split). Tolerates a truncated final record the
+    way the readline drivers did: the sequence line is yielded if present."""
+    pending = []
+    tail = b""
+    while True:
+        data = f.read(block)
+        if not data:
+            break
+        if b"\r" in data:
+            data = data.replace(b"\r", b"")
+        lines = (tail + data).split(b"\n")
+        tail = lines.pop()  # possibly-incomplete last line
+        pending.extend(lines)
+        ngroups = len(pending) // group
+        for i in range(ngroups):
+            yield pending[i * group + seq_line]
+        del pending[: ngroups * group]
+    if tail:
+        pending.append(tail)
+    if len(pending) > seq_line:
+        yield pending[seq_line]
 
 
 # ------------------------------------------------------------- report derive
