@@ -31,7 +31,11 @@ def main():
     from sshash_tpu.oracle import access
 
     rng = np.random.default_rng(0xBE7C)
-    for m in (15, 17):
+    # m15 is characterized in earlier sessions; m19 probes whether a higher
+    # singleton fraction (smaller pair sweep) buys more than the extra
+    # minimizers cost (reference-recipe m for this input is 13; m17 is the
+    # current headline at +0.4 ref-format bits/kmer)
+    for m in (17, 19):
         d = Dictionary.build(INPUT, BuildConfig(k=31, m=m, canonical=True,
                                                 verbose=False))
         index = d.index

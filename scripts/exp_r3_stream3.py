@@ -23,7 +23,10 @@ def main():
     from sshash_tpu.streaming import streaming_query_from_file
 
     shifts = [int(a) for a in sys.argv[1:]] or [22, 21]
-    chunks = [5 << 20] + [1 << s for s in shifts if (1 << s) != (5 << 20)]
+    # 5<<19 = 2.5M splits the 4.86M-position genome into two equal chunks of
+    # one compiled shape — the cleanest upload/compute overlap test
+    chunks = [5 << 20, 5 << 19] + [1 << s for s in shifts
+                                   if (1 << s) != (5 << 20)]
 
     d = Dictionary.build(INPUT, BuildConfig(k=31, m=17, verbose=False))
     d.to_device()
