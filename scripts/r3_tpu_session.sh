@@ -26,6 +26,8 @@ run lookup3 1500 python scripts/exp_r3_lookup3.py
 run stages 1200 python scripts/profile_stream_stages.py
 # 5b. tie fold vs cond retry A/B + 8M lanes
 run lookup4 1500 python scripts/exp_r3_lookup4.py
+# 5c. pair-window width sweep
+run lookup5 1500 python scripts/exp_r3_lookup5.py
 # 6. re-run bench for the record after everything is warm/compiled
 run bench2 900 python bench.py
 echo "ALL DONE $(date +%T)" | tee -a "$OUT/session.log"

@@ -647,7 +647,15 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0,
     active0 = active0 & (guard_ok | heavy)
 
     # ---- candidates 1..size-1 (midload only): compacted pair sweep
-    PMAX = max(128, B // 8)  # pair-window width; multiple windows when exceeded
+    # Window width trades per-window cost (the PMAX-wide mrow gather
+    # dominates it) against window COUNT for pair-heavy batches; random
+    # batches over a mostly-singleton index fill only a few % of B, so a
+    # narrower window is usually pure savings (SSHASH_PAIR_DIV sweeps it
+    # on hardware, scripts/exp_r3_lookup5.py).
+    import os
+
+    _div = int(os.environ.get("SSHASH_PAIR_DIV", "8"))
+    PMAX = max(128, B // _div)  # pair-window width; multiple windows when exceeded
     need = active0 & midload & ~found & (size > U32(1))
     nprobe = jnp.where(need, size - U32(1), U32(0)).astype(jnp.int32)
     # both compaction sums ride ONE two-column grouped scan

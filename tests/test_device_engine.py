@@ -49,6 +49,22 @@ def test_device_canonical(dict_k31_canonical, rng):
     _parity(dict_k31_canonical, eng, neg, rng)
 
 
+def test_pair_window_divisor_bit_exact(dict_k31, eng_k31, monkeypatch, rng):
+    """SSHASH_PAIR_DIV changes only the compacted pair sweep's window
+    width (cost shape), never results — a narrow window forces multiple
+    while_loop iterations over the same pair buffer."""
+    monkeypatch.setenv("SSHASH_PAIR_DIV", "4096")  # PMAX floors at 128
+    eng_narrow = DeviceEngine(dict_k31.index)
+    ids = rng.integers(0, dict_k31.num_kmers(), size=4096)
+    kms = dict_k31.access(ids)
+    kms[::2] = K.revcomp_kmers(kms[::2], 31)
+    kms[-512:] = rng.integers(0, 1 << 62, size=512, dtype=np.uint64).reshape(-1, 1)
+    a = eng_k31.lookup(kms)
+    b = eng_narrow.lookup(kms)
+    for key in a:
+        assert np.array_equal(np.asarray(a[key]), np.asarray(b[key])), key
+
+
 def test_device_weight(dict_weighted, rng):
     eng = DeviceEngine(dict_weighted.index)
     ids = rng.integers(0, dict_weighted.num_kmers(), size=8192)
