@@ -56,7 +56,7 @@ def main():
     args = tuple(jnp.asarray(a) if isinstance(a, np.ndarray) else a
                  for a in args)
 
-    stages = sys.argv[1:] or ["masks", "anchor", "chain", "fast",
+    stages = sys.argv[1:] or ["masks", "anchor", "chain", "fast", "corr",
                               "dfl_lanes", "dfl_pos", "dfl_head", "dfl_seg",
                               "dfl_win1", "dfl_win2", "full", None]
     for name in stages:
