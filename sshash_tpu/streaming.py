@@ -883,7 +883,16 @@ class _DeviceStream:
                 and chars_total <= self._cw_words(
                     P_eff // 4, max(16, (P_eff // 4) >> sh), k) * 16:
             P_eff //= 4
-        if P_eff != self.P:
+        # R ladder: short-read chunks rarely fill R = P>>sh segments, and
+        # rnpos is R uint32s of upload (44% of the bundled-SRR chunk at the
+        # default shift) — shrink R in 4x steps while the actual segment
+        # count and char budget still fit
+        while not self._no_ladder and max(16, P_eff >> (sh + 2)) >= len(seqs) \
+                and (P_eff >> (sh + 2)) >= 16 \
+                and chars_total <= self._cw_words(
+                    P_eff, max(16, P_eff >> (sh + 2)), k) * 16:
+            sh += 2
+        if P_eff != self.P or sh != self.rmax_shift:
             sub = _DeviceStream(self.engine, k, pmax=P_eff, rmax_shift=sh)
             sub._seqs = [(s, f) for (s, f) in zip(seqs, starts_flag)]
             sub._pending = count
