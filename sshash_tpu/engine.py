@@ -694,21 +694,30 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0,
             [_take(t, lane_u) for t in tries])
         # at most one candidate per lane can match (kmers are distinct in the
         # SPSS), so scatter-max combines are exact; all result fields ride
-        # ONE (B, C) scatter (each B-wide scatter pass costs ~2 ns/lane)
+        # ONE (B, C) scatter (each B-wide scatter pass costs ~2 ns/lane).
+        # ids mode resolves kmer_id per-probe in-register (id = off -
+        # sid*(k-1), the quad is already in the row) and scatters only
+        # [id+1, orient] — one column fewer than [off, orient, sid]; the
+        # carry then holds (bko=id, bsid=0) so the shared final resolve
+        # `bko - bsid*(k-1)` stays correct.
         tgt = jnp.where(pm, lane, B)
-        cols = [pko + U32(1), (por + I32(2)).astype(U32), psid]
         if full:
-            cols += [psb, pse]
+            cols = [pko + U32(1), (por + I32(2)).astype(U32), psid, psb, pse]
+        else:
+            pkid = pko - psid * U32(k - 1)
+            cols = [pkid + U32(1), (por + I32(2)).astype(U32)]
         acc = jnp.zeros((B, len(cols)), dtype=U32).at[tgt].max(
             jnp.stack(cols, axis=1), mode="drop")
         hit = acc[:, 0]
         newly = hit > 0
         bko = jnp.where(newly, hit - U32(1), bko)
         bor = jnp.where(newly, acc[:, 1].astype(I32) - I32(2), bor)
-        bsid = jnp.where(newly, acc[:, 2], bsid)
         if full:
+            bsid = jnp.where(newly, acc[:, 2], bsid)
             bsb = jnp.where(newly, acc[:, 3], bsb)
             bse = jnp.where(newly, acc[:, 4], bse)
+        else:
+            bsid = jnp.where(newly, U32(0), bsid)
         found = found | newly
         return found, bko, bor, bsid, bsb, bse
 

@@ -65,6 +65,27 @@ def test_pair_window_divisor_bit_exact(dict_k31, eng_k31, monkeypatch, rng):
         assert np.array_equal(np.asarray(a[key]), np.asarray(b[key])), key
 
 
+def test_ids_mode_matches_full(dict_k31, eng_k31, dict_k31_canonical, rng):
+    """fields="ids" (the bench kernel) must agree with the full kernel on
+    kmer_id/orientation/found — including pair-sweep hits, where ids mode
+    scatters the in-register-resolved id instead of (offset, sid)."""
+    import jax
+
+    for d, eng in ((dict_k31, eng_k31),
+                   (dict_k31_canonical, DeviceEngine(dict_k31_canonical.index))):
+        ids = rng.integers(0, d.num_kmers(), size=8192)
+        kms = d.access(ids)
+        kms[::2] = K.revcomp_kmers(kms[::2], 31)
+        kms[-1024:] = rng.integers(0, 1 << 62, size=1024,
+                                   dtype=np.uint64).reshape(-1, 1)
+        km32 = K.kmers_to_u32(kms, 31)
+        full = eng._lookup(eng.arrs, km32)
+        idsr = jax.jit(eng._lookup_ids_fn)(eng.arrs, km32)
+        for key in ("found", "kmer_id", "kmer_orientation", "minimizer_found"):
+            assert np.array_equal(np.asarray(full[key]),
+                                  np.asarray(idsr[key])), key
+
+
 def test_device_weight(dict_weighted, rng):
     eng = DeviceEngine(dict_weighted.index)
     ids = rng.integers(0, dict_weighted.num_kmers(), size=8192)
