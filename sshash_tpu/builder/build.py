@@ -48,6 +48,11 @@ class BuildConfig:
     external: bool = False
     ram_limit_mb: int = None
     tmp_dir: str = None
+    # multi-host analog: shard the minimizer-tuple scan over N worker
+    # PROCESSES spilling to a shared directory, then assemble out-of-core
+    # (builder/distributed.py; reference contrast: threads of one machine,
+    # src/builder/compute_minimizer_tuples.cpp:19-117)
+    scan_procs: int = 1
 
     def validate(self):
         if self.k < 1 or self.m < 1 or self.m > self.k:
@@ -58,6 +63,8 @@ class BuildConfig:
             raise ValueError("k - m + 1 must fit in 8 bits")
         if self.threads < 1:
             raise ValueError("threads must be >= 1")
+        if self.scan_procs < 1:
+            raise ValueError("scan_procs must be >= 1")
 
 
 def build(input_path, config: BuildConfig):
@@ -76,10 +83,16 @@ def build(input_path, config: BuildConfig):
             print(f"=== {name}: {dt:.3f} [sec]")
         return out
 
-    if config.external or config.ram_limit_mb is not None:
-        from .external import build_external
+    if config.scan_procs > 1 or config.external or config.ram_limit_mb is not None:
+        if config.scan_procs > 1:
+            from .distributed import build_distributed
 
-        index = build_external(input_path, config, stats, timed)
+            index = build_distributed(input_path, config, stats, timed,
+                                      config.scan_procs)
+        else:
+            from .external import build_external
+
+            index = build_external(input_path, config, stats, timed)
         stats["total_build_time_sec"] = time.perf_counter() - t_total
         stats["num_kmers"] = index.num_kmers
         stats.update(index.stats)

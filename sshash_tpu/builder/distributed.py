@@ -1,0 +1,216 @@
+"""Multi-host (multi-process) build: the scan stage sharded across workers.
+
+The reference parallelizes its heaviest build stage — the minimizer-tuple
+scan — across threads of one machine (src/builder/compute_minimizer_tuples.cpp:19-117).
+Here the same stage shards across PROCESSES that need share nothing but a
+filesystem directory, which is exactly the multi-host build unit promised by
+SURVEY §2.5/§7.6: each worker streams the input, scans only its assigned
+sequence blocks, and spills minimizer tuples (with GLOBAL char positions)
+to the hash-range files of builder/external.py, tagged by worker rank.
+Assembly then runs on one coordinator, reading every range's worker files
+in rank order — bit-identical to the single-process build because:
+
+  * a tuple's spill range is a pure function of its minimizer hash, so the
+    sharding never splits a bucket across files;
+  * per-partition assembly totally orders tuples by (MPHF slot, global
+    position) (external.py `np.lexsort((pos_all, tid))`); the only order
+    the spill files must preserve is between tuples with EQUAL (slot,
+    position) — canonical-mode forward/RC super-kmers at one position —
+    and those are always emitted by one scan call into one range file,
+    whose append order is preserved.
+
+On a real multi-host deployment each host runs `scan_shard` with its rank
+over a shared filesystem (or rsyncs its tag's files to the coordinator —
+they are disjoint by name); this module's `build_distributed` demonstrates
+the same protocol with local worker processes.
+"""
+
+import json
+import os
+
+import numpy as np
+
+from .. import hashing as H
+from .. import kmer as K
+from ..mphf import MPHFBuildError
+from .external import R_RANGES, TUPLE_DT, _SpillRouter, _assemble_ranged
+from .parse import SequenceReader
+
+U64 = np.uint64
+
+# sequences are grouped into ~BLOCK_CHARS blocks assigned round-robin to
+# workers; every worker derives the same assignment from the file alone
+BLOCK_CHARS = 1 << 22
+
+
+class _UnionRouter(_SpillRouter):
+    """Coordinator read-view over every worker's tagged spill files."""
+
+    def __init__(self, tmpdir, seed, ram_limit_bytes, tags, R=R_RANGES):
+        super().__init__(tmpdir, seed, ram_limit_bytes, R=R)
+        self.tags = list(tags)
+
+    def _tagged(self, rid, tag):
+        return os.path.join(self.dir, f"range_{rid:05d}{tag}.bin")
+
+    def load(self, rid):
+        parts = []
+        for t in self.tags + [""]:
+            p = self._tagged(rid, t)
+            if os.path.exists(p):
+                parts.append(np.fromfile(p, dtype=TUPLE_DT))
+        if self.buf[rid]:
+            parts.append(np.concatenate(self.buf[rid]))
+        return np.concatenate(parts) if parts else np.zeros(0, dtype=TUPLE_DT)
+
+    def reroute(self, new_seed):
+        # merge worker files (rank order within each range) into this
+        # router's own untagged files under the new seed; file-local order
+        # is preserved, which is all bit-equality needs (module docstring)
+        self.flush()
+        moved = []
+        for rid in range(self.R):
+            for t in self.tags + [""]:
+                p = self._tagged(rid, t)
+                if os.path.exists(p):
+                    os.rename(p, p + ".old")
+                    moved.append(p + ".old")
+        self.seed = np.uint64(new_seed)
+        self.tags = []
+        for t in moved:
+            rec = np.fromfile(t, dtype=TUPLE_DT)
+            self.add(rec["mn"].astype(U64), rec["pos"].astype(np.int64),
+                     rec["pik"], rec["cnt"])
+            os.remove(t)
+        self.flush()
+
+
+def scan_shard(input_path, k, m, seed, canonical, wid, nworkers, shared_dir,
+               ram_bytes=1 << 29, block_chars=BLOCK_CHARS):
+    """Worker `wid` of `nworkers`: stream the input, tuple-scan ONLY the
+    sequence blocks assigned to this rank, spill to `shared_dir` with tag
+    `_w{wid}`. Stateless apart from the spill files — safe to run in any
+    process/host that sees the directory. Returns the tuple count."""
+    from .. import native
+    from ..hashing import mixer_magic
+
+    if not native.available():
+        raise RuntimeError("distributed build requires the native scanner")
+    magic = mixer_magic(seed)
+    scan_seed = int(H.splitmix64(U64(seed)))
+    router = _SpillRouter(shared_dir, scan_seed, ram_bytes // 2,
+                          tag=f"_w{wid}")
+    reader = SequenceReader(input_path, k, weighted=False)
+
+    cbuf, lens, gstarts, owned_chars = [], [], [], 0
+
+    def flush():
+        nonlocal cbuf, lens, gstarts, owned_chars
+        if not cbuf:
+            return
+        codes = np.concatenate(cbuf)
+        ep = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=ep[1:])
+        mn, ps, pik, cnt = native.tuple_scan(codes, ep, k, m, magic, canonical)
+        ps = ps.astype(np.int64)
+        seg = np.searchsorted(ep, ps, side="right") - 1
+        gpos = ps - ep[seg] + np.asarray(gstarts, dtype=np.int64)[seg]
+        router.add(mn, gpos, pik, cnt)
+        cbuf, lens, gstarts, owned_chars = [], [], [], 0
+
+    base = 0
+    for codes in reader:
+        if (base // block_chars) % nworkers == wid:
+            cbuf.append(codes)
+            lens.append(len(codes))
+            gstarts.append(base)
+            owned_chars += len(codes)
+            if owned_chars >= 1 << 26:
+                flush()
+        base += len(codes)
+    flush()
+    router.flush()
+    meta = {"wid": wid, "tuples": int(router.total), "chars_seen": int(base)}
+    with open(os.path.join(shared_dir, f"meta_w{wid}.json"), "w") as f:
+        json.dump(meta, f)
+    return router.total
+
+
+def _worker_main(args):
+    scan_shard(*args)
+
+
+def build_distributed(input_path, config, stats, timed, nprocs,
+                      block_chars=BLOCK_CHARS):
+    """RAM-bounded build whose scan stage runs on `nprocs` worker processes
+    (multi-host analog; see module docstring). Index arrays are bit-identical
+    to the in-RAM and out-of-core single-process builds."""
+    import shutil
+    import tempfile
+
+    from .. import native
+
+    if not native.available():
+        raise RuntimeError("distributed build requires the native scanner")
+    k, m = config.k, config.m
+    ram_bytes = (config.ram_limit_mb or 1024) * (1 << 20)
+    tmpdir = tempfile.mkdtemp(prefix="sshash_dbuild_", dir=config.tmp_dir)
+    try:
+        return _build_distributed(input_path, config, stats, timed, k, m,
+                                  ram_bytes, tmpdir, nprocs, block_chars)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def _build_distributed(input_path, config, stats, timed, k, m, ram_bytes,
+                       tmpdir, nprocs, block_chars):
+    import multiprocessing as mp
+
+    seed0 = config.seed
+
+    def scan_procs():
+        ctx = mp.get_context("spawn")  # fresh interpreters = host analog
+        procs = [ctx.Process(target=_worker_main, args=((
+            str(input_path), k, m, seed0, config.canonical, w, nprocs,
+            tmpdir, ram_bytes, block_chars),)) for w in range(nprocs)]
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join()
+        bad = [p.exitcode for p in procs if p.exitcode != 0]
+        if bad:
+            raise RuntimeError(f"scan worker(s) failed: exit codes {bad}")
+
+    timed(f"steps 2-3 ({nprocs}-process sharded scan + spill)", scan_procs)
+
+    # the coordinator's own pass: packed strings + parse metadata (weights,
+    # endpoints) — the cheap stage after the SWAR encoder; tuple scanning
+    # happened in the workers
+    def pack_strings():
+        reader = SequenceReader(input_path, k, config.weighted)
+        words_parts = []
+        carry = np.zeros(0, dtype=np.uint8)
+        for codes in reader:
+            allc = np.concatenate([carry, codes]) if len(carry) else codes
+            n32 = (len(allc) // 32) * 32
+            if n32:
+                words_parts.append(K.pack_codes(allc[:n32]))
+            carry = allc[n32:]
+        words_parts.append(K.pack_codes(carry, pad_words=K.num_words64(k) + 1))
+        return reader.finish(codes=None), np.concatenate(words_parts)
+
+    parsed, words64 = timed("step 1 (parse + pack strings)", pack_strings)
+
+    scan_seed = int(H.splitmix64(U64(seed0)))
+    router = _UnionRouter(tmpdir, scan_seed, ram_bytes // 2,
+                          tags=[f"_w{w}" for w in range(nprocs)])
+    for attempt in range(16):
+        try:
+            return timed("steps 4-7 (ranged mphf + assembly)",
+                         lambda: _assemble_ranged(parsed, router, words64, k,
+                                                  m, seed0, router.seed,
+                                                  config, stats))
+        except MPHFBuildError:
+            seed = int(H.splitmix64(U64(seed0) + U64((attempt + 1) * 0x9E3779B9)))
+            router.reroute(seed)
+    raise MPHFBuildError("distributed build failed after 16 global seeds")

@@ -40,7 +40,7 @@ R_RANGES = 1024
 class _SpillRouter:
     """Route tuple blocks to hash-range spill files, flushing at a RAM cap."""
 
-    def __init__(self, tmpdir, seed, ram_limit_bytes, R=R_RANGES):
+    def __init__(self, tmpdir, seed, ram_limit_bytes, R=R_RANGES, tag=""):
         self.dir = tmpdir
         self.seed = np.uint64(seed)
         self.R = R
@@ -48,9 +48,12 @@ class _SpillRouter:
         self.buf = [[] for _ in range(R)]
         self.buffered = 0
         self.total = 0
+        # multi-host builds tag each worker's spill files so they share one
+        # directory without contention (builder/distributed.py)
+        self.tag = tag
 
     def path(self, rid):
-        return os.path.join(self.dir, f"range_{rid:05d}.bin")
+        return os.path.join(self.dir, f"range_{rid:05d}{self.tag}.bin")
 
     def add(self, mn, pos, pik, cnt):
         h = H.hash64_u64(mn, self.seed)

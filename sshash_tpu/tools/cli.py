@@ -37,6 +37,10 @@ def _add_build(sub):
     p.add_argument("-a", "--lmbda", type=float, default=None,
                    help="pilot-search lambda = avg bucket load (the "
                         "reference's -a flag; default constants.LAMBDA)")
+    p.add_argument("--scan-procs", type=int, default=1,
+                   help="shard the minimizer-tuple scan over N worker "
+                        "PROCESSES spilling to a shared dir (multi-host "
+                        "analog; bit-identical at any count)")
 
 
 def _add_query(sub):
@@ -91,7 +95,8 @@ def _build(args):
     cfg = BuildConfig(k=args.k, m=args.m, seed=args.seed if args.seed is not None else SEED,
                       canonical=args.canonical, weighted=args.weighted, verbose=args.verbose,
                       ram_limit_mb=args.ram_mb, tmp_dir=args.tmp_dir,
-                      threads=args.threads, lmbda=args.lmbda)
+                      threads=args.threads, lmbda=args.lmbda,
+                      scan_procs=args.scan_procs)
     d = Dictionary.build(args.input, cfg)
     d.print_info()
     if args.check:
