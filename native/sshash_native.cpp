@@ -361,8 +361,11 @@ int64_t sort_tuples(const uint64_t* mn, const uint64_t* pos, int64_t* idx,
         std::sort(idx, idx + n, cmp);
         return 0;
     }
+    // largest power of two <= nt: -t is the user's oversubscription bound,
+    // so never launch MORE sort threads than asked (the merge rounds use
+    // progressively fewer)
     int64_t chunks = 1;
-    while (chunks < nt) chunks <<= 1;
+    while (chunks * 2 <= nt) chunks <<= 1;
     std::vector<int64_t> bounds(chunks + 1);
     for (int64_t c = 0; c <= chunks; ++c) bounds[c] = n * c / chunks;
     {

@@ -168,11 +168,16 @@ def _build_distributed(input_path, config, stats, timed, k, m, ram_bytes,
 
     seed0 = config.seed
 
+    # workers may share THIS machine (the local demo mode), so the --ram-mb
+    # budget splits across them; on a real multi-host deployment each host
+    # runs scan_shard with its own full budget
+    worker_ram = max(ram_bytes // nprocs, 32 << 20)
+
     def scan_procs():
         ctx = mp.get_context("spawn")  # fresh interpreters = host analog
         procs = [ctx.Process(target=_worker_main, args=((
             str(input_path), k, m, seed0, config.canonical, w, nprocs,
-            tmpdir, ram_bytes, block_chars),)) for w in range(nprocs)]
+            tmpdir, worker_ram, block_chars),)) for w in range(nprocs)]
         for p in procs:
             p.start()
         for p in procs:

@@ -257,6 +257,15 @@ def _device_arrays(index):
         arrs["w_value_ids"] = w.interval_value_ids.astype(np.uint32)
         arrs["w_endpoints"] = w.interval_endpoints.astype(np.uint32)
         arrs["w_dictionary"] = w.dictionary.astype(np.uint32)
+    # device row gathers cast row indices to int32 (jnp.take above): every
+    # table must stay int32-row-addressable, not just < 2^32 — same
+    # fail-loudly contract as the chars/ids guard at the top
+    for name, a in arrs.items():
+        if a.shape[0] >= 1 << 31:
+            raise ValueError(
+                f"device table {name!r} has {a.shape[0]} rows (>= 2^31); "
+                f"row gathers address int32. Shard the index over a mesh "
+                f"(parallel.ShardedEngine) instead.")
     return arrs
 
 

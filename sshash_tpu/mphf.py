@@ -325,10 +325,21 @@ class PartitionedMPHF:
             # don't depend on execution order.
             from concurrent.futures import ThreadPoolExecutor
 
+            # bounded in-flight window: commit (and free) solutions in
+            # order as they complete instead of materializing all P pilot/
+            # remap solutions first — peak memory stays ~serial + window
             with ThreadPoolExecutor(max_workers=threads) as ex:
-                sols = list(ex.map(b.solve_partition, range(P), parts))
-            for p, sol in enumerate(sols):
-                b.commit_partition(p, sol)
+                window = max(2 * threads, 2)
+                futs = {}
+                nextp = 0
+                for p in range(P):
+                    futs[p] = ex.submit(b.solve_partition, p, parts[p])
+                    if len(futs) >= window:
+                        b.commit_partition(nextp, futs.pop(nextp).result())
+                        nextp += 1
+                while nextp < P:
+                    b.commit_partition(nextp, futs.pop(nextp).result())
+                    nextp += 1
         else:
             for p in range(P):
                 b.add_partition(p, parts[p])

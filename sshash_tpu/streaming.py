@@ -76,14 +76,14 @@ def parse_reads(path, fmt=None, multiline=False):
             # across blocks so records never split.
             yield from _grouped_lines(f, group=4, seq_line=1)
         elif multiline:
-            # bulk read + C-speed translate: the per-line Python loop cost
-            # ~90ms on the 4.9MB salmonella genome (throttled host), a
+            # block-bulk read + C-speed translate: the per-line Python loop
+            # cost ~90ms on the 4.9MB salmonella genome (throttled host), a
             # visible slice of the streaming end-to-end budget. Records are
-            # split on line-initial '>'; newlines strip in one pass.
-            data = f.read()
-            parts = data.split(b"\n>")
-            for i, rec in enumerate(parts):
-                if i == 0 and not rec.startswith(b">"):
+            # split on line-initial '>'; newlines strip in one pass. Blocks
+            # carry the trailing partial record, so resident memory is one
+            # block + one record — never the whole file.
+            for rec, first in _ml_records(f):
+                if first and not rec.startswith(b">"):
                     seq = rec.translate(None, b"\r\n")  # headerless lines
                 else:
                     nl = rec.find(b"\n")
@@ -92,6 +92,27 @@ def parse_reads(path, fmt=None, multiline=False):
                     yield seq
         else:  # 2-line fasta
             yield from _grouped_lines(f, group=2, seq_line=1)
+
+
+def _ml_records(f, block=1 << 25):
+    """Yield (record_bytes, is_first_record) from a multiline FASTA, reading
+    in bulk blocks: records split on the line-initial '>' separator; the
+    trailing partial record carries into the next block, so a record is
+    always yielded whole and resident memory stays ~block + one record."""
+    carry = b""
+    first = True
+    while True:
+        data = f.read(block)
+        if not data:
+            break
+        buf = carry + data if carry else data
+        parts = buf.split(b"\n>")
+        carry = parts.pop()
+        for rec in parts:
+            yield rec, first
+            first = False
+    if carry:
+        yield carry, first
 
 
 def _grouped_lines(f, group, seq_line, block=1 << 25):
@@ -844,6 +865,13 @@ class _DeviceStream:
         # must fit BOTH the position budget P and the char budget CW*16
         # (which is below P + k - 1 for small k — see __init__)
         seg = min(self.P, self.CW * 16 - (k - 1))
+        # the device counter derivations assume a non-read-start segment can
+        # only START a chunk (lane 0): derive_fast/derive_corr exclude
+        # segment-start anchors from group-crossing extensions on that
+        # basis. It holds because long-read splits are exactly P positions
+        # (_cw_words budgets CW*16 >= P + k - 1 + 16, so seg == P) — a
+        # tighter char budget would silently undercount num_extensions.
+        assert seg == self.P, (seg, self.P, self.CW)
         for off in range(0, n - k + 1, seg):
             chunk = seq[off : off + seg + k - 1]
             self._add_segment(bytes(chunk), off == 0)
