@@ -238,3 +238,41 @@ def test_device_high_hit_compact_fallback_parity(dict_k31, tmp_path):
     for key in ("num_kmers", "num_positive_kmers", "num_negative_kmers",
                 "num_invalid_kmers", "num_searches", "num_extensions"):
         assert host[key] == dev[key], (key, host, dev)
+
+
+def test_ml_records_block_boundaries(tmp_path, rng):
+    """The block-based multiline parser must yield the same records at ANY
+    block size (records carry across block boundaries; headers/sequences may
+    split mid-line)."""
+    import io
+
+    from sshash_tpu.streaming import _ml_records
+
+    recs = []
+    body = []
+    for i in range(40):
+        n = int(rng.integers(1, 200))
+        seq = bytes(rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), n))
+        width = int(rng.integers(1, 60))
+        lines = [seq[j:j + width] for j in range(0, n, width)]
+        body.append(b">r%d some header\r\n" % i + b"\r\n".join(lines)
+                    + (b"\n" if i % 3 else b"\r\n"))
+        recs.append(seq)
+    data = b"".join(body)
+
+    def parse(block):
+        out = []
+        for rec, first in _ml_records(io.BytesIO(data), block=block):
+            if first and not rec.startswith(b">"):
+                s = rec.translate(None, b"\r\n")
+            else:
+                nl = rec.find(b"\n")
+                s = rec[nl + 1:].translate(None, b"\r\n") if nl >= 0 else b""
+            if s:
+                out.append(s)
+        return out
+
+    want = parse(1 << 25)  # single block
+    assert want == recs
+    for block in (1, 3, 7, 64, 1024):
+        assert parse(block) == recs, block
