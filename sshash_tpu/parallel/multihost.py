@@ -26,7 +26,9 @@ hash-range decomposition (builder/external.py): every host scans its input
 shard and routes tuples by minimizer-hash range; ranges are value-disjoint,
 so each host assembles its assigned MPHF partitions independently and the
 results concatenate — the same invariant that makes the single-host spill
-build bit-identical to the in-RAM build.
+build bit-identical to the in-RAM build. This is implemented:
+builder/distributed.py `scan_shard` runs on any process/host that sees the
+spill directory (`--scan-procs N` demonstrates it with local processes).
 """
 
 import numpy as np
