@@ -136,8 +136,16 @@ def scan_shard(input_path, k, m, seed, canonical, wid, nworkers, shared_dir,
     return router.total
 
 
-def _worker_main(args):
-    scan_shard(*args)
+def _worker_argv(input_path, k, m, seed, canonical, wid, nworkers, shared_dir,
+                 ram_bytes, block_chars):
+    import sys
+
+    return [sys.executable, "-m", "sshash_tpu.builder.distributed",
+            "--input", str(input_path), "-k", str(k), "-m", str(m),
+            "--seed", str(seed), "--wid", str(wid),
+            "--nworkers", str(nworkers), "--dir", str(shared_dir),
+            "--ram-bytes", str(ram_bytes), "--block-chars", str(block_chars)] \
+        + (["--canonical"] if canonical else [])
 
 
 def build_distributed(input_path, config, stats, timed, nprocs,
@@ -164,25 +172,24 @@ def build_distributed(input_path, config, stats, timed, nprocs,
 
 def _build_distributed(input_path, config, stats, timed, k, m, ram_bytes,
                        tmpdir, nprocs, block_chars):
-    import multiprocessing as mp
+    import subprocess
 
     seed0 = config.seed
 
     # workers may share THIS machine (the local demo mode), so the --ram-mb
     # budget splits across them; on a real multi-host deployment each host
-    # runs scan_shard with its own full budget
+    # runs the worker CLI with its own full budget
     worker_ram = max(ram_bytes // nprocs, 32 << 20)
 
     def scan_procs():
-        ctx = mp.get_context("spawn")  # fresh interpreters = host analog
-        procs = [ctx.Process(target=_worker_main, args=((
-            str(input_path), k, m, seed0, config.canonical, w, nprocs,
-            tmpdir, worker_ram, block_chars),)) for w in range(nprocs)]
+        # plain CLI subprocesses, no pickled state: the same command a real
+        # multi-host deployment runs per host rank
+        procs = [subprocess.Popen(_worker_argv(
+            input_path, k, m, seed0, config.canonical, w, nprocs,
+            tmpdir, worker_ram, block_chars)) for w in range(nprocs)]
         for p in procs:
-            p.start()
-        for p in procs:
-            p.join()
-        bad = [p.exitcode for p in procs if p.exitcode != 0]
+            p.wait()
+        bad = [p.returncode for p in procs if p.returncode != 0]
         if bad:
             raise RuntimeError(f"scan worker(s) failed: exit codes {bad}")
 
@@ -219,3 +226,35 @@ def _build_distributed(input_path, config, stats, timed, k, m, ram_bytes,
             seed = int(H.splitmix64(U64(seed0) + U64((attempt + 1) * 0x9E3779B9)))
             router.reroute(seed)
     raise MPHFBuildError("distributed build failed after 16 global seeds")
+
+
+def _main(argv=None):
+    """Worker CLI — the command a real multi-host deployment runs on each
+    host (rank `--wid` of `--nworkers`, spilling to the shared `--dir`):
+
+        python -m sshash_tpu.builder.distributed --input u.fa.gz -k 31 -m 21 \
+            --seed 1 --wid 0 --nworkers 4 --dir /shared/spills
+
+    After all ranks finish, any one host assembles with
+    BuildConfig(scan_procs=N) pointed at the same directory — or via
+    build_distributed, which also spawns local workers with this CLI."""
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="python -m sshash_tpu.builder.distributed")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("-k", type=int, required=True)
+    ap.add_argument("-m", type=int, required=True)
+    ap.add_argument("--seed", type=int, required=True)
+    ap.add_argument("--canonical", action="store_true")
+    ap.add_argument("--wid", type=int, required=True)
+    ap.add_argument("--nworkers", type=int, required=True)
+    ap.add_argument("--dir", required=True)
+    ap.add_argument("--ram-bytes", type=int, default=1 << 29)
+    ap.add_argument("--block-chars", type=int, default=BLOCK_CHARS)
+    a = ap.parse_args(argv)
+    scan_shard(a.input, a.k, a.m, a.seed, a.canonical, a.wid, a.nworkers,
+               a.dir, ram_bytes=a.ram_bytes, block_chars=a.block_chars)
+
+
+if __name__ == "__main__":
+    _main()
