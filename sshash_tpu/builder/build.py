@@ -51,8 +51,11 @@ class BuildConfig:
     # multi-host analog: shard the minimizer-tuple scan over N worker
     # PROCESSES spilling to a shared directory, then assemble out-of-core
     # (builder/distributed.py; reference contrast: threads of one machine,
-    # src/builder/compute_minimizer_tuples.cpp:19-117)
+    # src/builder/compute_minimizer_tuples.cpp:19-117). scan_dir points the
+    # assembly at a directory ALREADY spilled by scan_procs ranks of the
+    # worker CLI (the real multi-host recipe; meta files are verified)
     scan_procs: int = 1
+    scan_dir: str = None
 
     def validate(self):
         if self.k < 1 or self.m < 1 or self.m > self.k:
@@ -83,8 +86,9 @@ def build(input_path, config: BuildConfig):
             print(f"=== {name}: {dt:.3f} [sec]")
         return out
 
-    if config.scan_procs > 1 or config.external or config.ram_limit_mb is not None:
-        if config.scan_procs > 1:
+    if (config.scan_procs > 1 or config.scan_dir is not None
+            or config.external or config.ram_limit_mb is not None):
+        if config.scan_procs > 1 or config.scan_dir is not None:
             from .distributed import build_distributed
 
             index = build_distributed(input_path, config, stats, timed,

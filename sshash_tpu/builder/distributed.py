@@ -65,24 +65,13 @@ class _UnionRouter(_SpillRouter):
 
     def reroute(self, new_seed):
         # merge worker files (rank order within each range) into this
-        # router's own untagged files under the new seed; file-local order
-        # is preserved, which is all bit-equality needs (module docstring)
+        # router's own untagged files under the new seed (the shared
+        # rename/re-add protocol of _SpillRouter._reroute_files)
         self.flush()
-        moved = []
-        for rid in range(self.R):
-            for t in self.tags + [""]:
-                p = self._tagged(rid, t)
-                if os.path.exists(p):
-                    os.rename(p, p + ".old")
-                    moved.append(p + ".old")
-        self.seed = np.uint64(new_seed)
+        paths = [self._tagged(rid, t)
+                 for rid in range(self.R) for t in self.tags + [""]]
         self.tags = []
-        for t in moved:
-            rec = np.fromfile(t, dtype=TUPLE_DT)
-            self.add(rec["mn"].astype(U64), rec["pos"].astype(np.int64),
-                     rec["pik"], rec["cnt"])
-            os.remove(t)
-        self.flush()
+        self._reroute_files(paths, new_seed)
 
 
 def scan_shard(input_path, k, m, seed, canonical, wid, nworkers, shared_dir,
@@ -100,8 +89,15 @@ def scan_shard(input_path, k, m, seed, canonical, wid, nworkers, shared_dir,
     scan_seed = int(H.splitmix64(U64(seed)))
     router = _SpillRouter(shared_dir, scan_seed, ram_bytes // 2,
                           tag=f"_w{wid}")
-    reader = SequenceReader(input_path, k, weighted=False)
+    # raw mode: non-owned sequences contribute only their LENGTH (to place
+    # blocks); only owned blocks pay the 2-bit encode. Every block is owned
+    # by exactly one rank, so the union still validates all input chars.
+    reader = SequenceReader(input_path, k, weighted=False, raw=True)
 
+    # the scan buffer honours the worker's share of the RAM budget (1 B/char
+    # codes + ~2 B/char tuple-scan outputs); the router buffers the other
+    # ram_bytes // 2
+    flush_chars = min(1 << 26, max(ram_bytes // 8, 1 << 20))
     cbuf, lens, gstarts, owned_chars = [], [], [], 0
 
     def flush():
@@ -119,15 +115,20 @@ def scan_shard(input_path, k, m, seed, canonical, wid, nworkers, shared_dir,
         cbuf, lens, gstarts, owned_chars = [], [], [], 0
 
     base = 0
-    for codes in reader:
+    for seq in reader:
         if (base // block_chars) % nworkers == wid:
+            codes, ok = K.encode_chars(seq)
+            if not ok.all():
+                bad = int(np.flatnonzero(~ok)[0])
+                raise ValueError(
+                    f"invalid character {chr(seq[bad])!r} in build input")
             cbuf.append(codes)
             lens.append(len(codes))
             gstarts.append(base)
             owned_chars += len(codes)
-            if owned_chars >= 1 << 26:
+            if owned_chars >= flush_chars:
                 flush()
-        base += len(codes)
+        base += len(seq)
     flush()
     router.flush()
     meta = {"wid": wid, "tuples": int(router.total), "chars_seen": int(base)}
@@ -152,7 +153,15 @@ def build_distributed(input_path, config, stats, timed, nprocs,
                       block_chars=BLOCK_CHARS):
     """RAM-bounded build whose scan stage runs on `nprocs` worker processes
     (multi-host analog; see module docstring). Index arrays are bit-identical
-    to the in-RAM and out-of-core single-process builds."""
+    to the in-RAM and out-of-core single-process builds.
+
+    With config.scan_dir set, the scan stage is assumed ALREADY DONE by
+    `nprocs` ranks of the worker CLI (each host ran
+    `python -m sshash_tpu.builder.distributed --wid w --nworkers N --dir D`)
+    and assembly reads that directory directly — every rank's meta file is
+    checked against the coordinator's own parse before assembling. The
+    directory is operator-owned and not deleted (though a re-seed retry
+    merges its tagged files in place)."""
     import shutil
     import tempfile
 
@@ -162,6 +171,11 @@ def build_distributed(input_path, config, stats, timed, nprocs,
         raise RuntimeError("distributed build requires the native scanner")
     k, m = config.k, config.m
     ram_bytes = (config.ram_limit_mb or 1024) * (1 << 20)
+    scan_dir = getattr(config, "scan_dir", None)
+    if scan_dir is not None:
+        return _build_distributed(input_path, config, stats, timed, k, m,
+                                  ram_bytes, str(scan_dir), nprocs,
+                                  block_chars, pre_spilled=True)
     tmpdir = tempfile.mkdtemp(prefix="sshash_dbuild_", dir=config.tmp_dir)
     try:
         return _build_distributed(input_path, config, stats, timed, k, m,
@@ -171,29 +185,30 @@ def build_distributed(input_path, config, stats, timed, nprocs,
 
 
 def _build_distributed(input_path, config, stats, timed, k, m, ram_bytes,
-                       tmpdir, nprocs, block_chars):
+                       tmpdir, nprocs, block_chars, pre_spilled=False):
     import subprocess
 
     seed0 = config.seed
 
-    # workers may share THIS machine (the local demo mode), so the --ram-mb
-    # budget splits across them; on a real multi-host deployment each host
-    # runs the worker CLI with its own full budget
-    worker_ram = max(ram_bytes // nprocs, 32 << 20)
+    if not pre_spilled:
+        # workers may share THIS machine (the local demo mode), so the
+        # --ram-mb budget splits across them; on a real multi-host
+        # deployment each host runs the worker CLI with its own full budget
+        worker_ram = max(ram_bytes // nprocs, 32 << 20)
 
-    def scan_procs():
-        # plain CLI subprocesses, no pickled state: the same command a real
-        # multi-host deployment runs per host rank
-        procs = [subprocess.Popen(_worker_argv(
-            input_path, k, m, seed0, config.canonical, w, nprocs,
-            tmpdir, worker_ram, block_chars)) for w in range(nprocs)]
-        for p in procs:
-            p.wait()
-        bad = [p.returncode for p in procs if p.returncode != 0]
-        if bad:
-            raise RuntimeError(f"scan worker(s) failed: exit codes {bad}")
+        def scan_procs():
+            # plain CLI subprocesses, no pickled state: the same command a
+            # real multi-host deployment runs per host rank
+            procs = [subprocess.Popen(_worker_argv(
+                input_path, k, m, seed0, config.canonical, w, nprocs,
+                tmpdir, worker_ram, block_chars)) for w in range(nprocs)]
+            for p in procs:
+                p.wait()
+            bad = [p.returncode for p in procs if p.returncode != 0]
+            if bad:
+                raise RuntimeError(f"scan worker(s) failed: exit codes {bad}")
 
-    timed(f"steps 2-3 ({nprocs}-process sharded scan + spill)", scan_procs)
+        timed(f"steps 2-3 ({nprocs}-process sharded scan + spill)", scan_procs)
 
     # the coordinator's own pass: packed strings + parse metadata (weights,
     # endpoints) — the cheap stage after the SWAR encoder; tuple scanning
@@ -212,6 +227,24 @@ def _build_distributed(input_path, config, stats, timed, k, m, ram_bytes,
         return reader.finish(codes=None), np.concatenate(words_parts)
 
     parsed, words64 = timed("step 1 (parse + pack strings)", pack_strings)
+
+    # integrity cross-check: every rank must have spilled, and against the
+    # SAME input the coordinator just parsed (a stale/truncated copy on one
+    # host would otherwise assemble a silently wrong index)
+    total_chars = int(parsed.endpoints[-1])
+    for w in range(nprocs):
+        mpath = os.path.join(tmpdir, f"meta_w{w}.json")
+        if not os.path.exists(mpath):
+            raise RuntimeError(
+                f"scan rank {w}/{nprocs} left no meta file in {tmpdir!r} — "
+                f"did every rank run the worker CLI with --nworkers {nprocs}?")
+        with open(mpath) as fh:
+            meta = json.load(fh)
+        if meta.get("chars_seen") != total_chars or meta.get("wid") != w:
+            raise RuntimeError(
+                f"scan rank {w} saw {meta.get('chars_seen')} input chars but "
+                f"the coordinator parsed {total_chars} — ranks must scan the "
+                f"exact same input file")
 
     scan_seed = int(H.splitmix64(U64(seed0)))
     router = _UnionRouter(tmpdir, scan_seed, ram_bytes // 2,
@@ -235,9 +268,14 @@ def _main(argv=None):
         python -m sshash_tpu.builder.distributed --input u.fa.gz -k 31 -m 21 \
             --seed 1 --wid 0 --nworkers 4 --dir /shared/spills
 
-    After all ranks finish, any one host assembles with
-    BuildConfig(scan_procs=N) pointed at the same directory — or via
-    build_distributed, which also spawns local workers with this CLI."""
+    After all ranks finish, any one host assembles from the shared
+    directory with
+
+        BuildConfig(scan_procs=4, scan_dir="/shared/spills")
+
+    (meta files of every rank are verified against the coordinator's own
+    parse). Without scan_dir, build_distributed spawns local workers with
+    this same CLI."""
     import argparse
 
     ap = argparse.ArgumentParser(prog="python -m sshash_tpu.builder.distributed")

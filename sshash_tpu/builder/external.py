@@ -94,15 +94,18 @@ class _SpillRouter:
         """Global MPHF re-seed changes the hash ranges: re-route every spill
         file under the new seed (rare: full 64-bit hash collision)."""
         self.flush()
-        old = [self.path(r) for r in range(self.R)]
-        tmp = [p + ".old" for p in old]
-        for p, t in zip(old, tmp):
-            if os.path.exists(p):
-                os.rename(p, t)
+        self._reroute_files([self.path(r) for r in range(self.R)], new_seed)
+
+    def _reroute_files(self, olds, new_seed):
+        """Rename `olds` aside, re-add their records under `new_seed`, and
+        delete them. File-local record order is preserved, which is all the
+        assembly's bit-equality needs (equal-(slot,pos) ties are always
+        in-file adjacent; builder/distributed.py docstring)."""
+        tmp = [p + ".old" for p in olds if os.path.exists(p)]
+        for t in tmp:
+            os.rename(t[: -len(".old")], t)
         self.seed = np.uint64(new_seed)
         for t in tmp:
-            if not os.path.exists(t):
-                continue
             rec = np.fromfile(t, dtype=TUPLE_DT)
             self.add(rec["mn"].astype(U64), rec["pos"].astype(np.int64),
                      rec["pik"], rec["cnt"])

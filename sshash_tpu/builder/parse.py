@@ -55,10 +55,15 @@ class SequenceReader:
     (encode_strings.cpp:119-132). Inspect the accumulator fields after
     exhausting the iterator."""
 
-    def __init__(self, path, k, weighted=False):
+    def __init__(self, path, k, weighted=False, raw=False):
         self.path = path
         self.k = k
         self.weighted = weighted
+        # raw=True yields sequence BYTES instead of 2-bit codes (no encode,
+        # no validity check) — for consumers that encode only a subset
+        # (distributed scan workers own 1/N of the blocks but must still
+        # see every length to place them)
+        self.raw = raw
         self.num_kmers = 0
         self.max_len = 0
         self.lengths = []
@@ -110,6 +115,12 @@ class SequenceReader:
                 n = len(seq)
                 if n < k:
                     raise ValueError(f"sequence shorter than k: {n} < {k}")
+                if self.raw:
+                    self.lengths.append(n)
+                    self.num_kmers += n - k + 1
+                    self.max_len = max(self.max_len, n)
+                    yield seq
+                    continue
                 codes, ok = K.encode_chars(seq)
                 if not ok.all():
                     bad = np.flatnonzero(~ok)[0]

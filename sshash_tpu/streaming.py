@@ -98,21 +98,30 @@ def _ml_records(f, block=1 << 25):
     """Yield (record_bytes, is_first_record) from a multiline FASTA, reading
     in bulk blocks: records split on the line-initial '>' separator; the
     trailing partial record carries into the next block, so a record is
-    always yielded whole and resident memory stays ~block + one record."""
-    carry = b""
+    always yielded whole and resident memory stays ~block + one record.
+    The carry is a LIST of chunks joined only when a separator appears, so
+    a record spanning many blocks costs one join, not one per block."""
+    carry = []  # chunks of the current (unterminated) record
     first = True
     while True:
         data = f.read(block)
         if not data:
             break
-        buf = carry + data if carry else data
-        parts = buf.split(b"\n>")
-        carry = parts.pop()
+        # the separator may live inside `data` or straddle the boundary
+        # (carry ends with '\n', data starts with '>')
+        straddle = carry and carry[-1].endswith(b"\n") and data.startswith(b">")
+        if b"\n>" not in data and not straddle:
+            carry.append(data)
+            continue
+        parts = (b"".join(carry) + data).split(b"\n>")
+        carry = [parts.pop()]
         for rec in parts:
             yield rec, first
             first = False
     if carry:
-        yield carry, first
+        rec = b"".join(carry)
+        if rec:
+            yield rec, first
 
 
 def _grouped_lines(f, group, seq_line, block=1 << 25):
@@ -870,8 +879,13 @@ class _DeviceStream:
         # segment-start anchors from group-crossing extensions on that
         # basis. It holds because long-read splits are exactly P positions
         # (_cw_words budgets CW*16 >= P + k - 1 + 16, so seg == P) — a
-        # tighter char budget would silently undercount num_extensions.
-        assert seg == self.P, (seg, self.P, self.CW)
+        # tighter char budget would silently undercount num_extensions,
+        # so this must survive python -O (no assert).
+        if seg != self.P:
+            raise ValueError(
+                f"char budget allows segments of only {seg} < P={self.P} "
+                f"positions (CW={self.CW}); the counter derivation requires "
+                f"exact-P long-read splits — widen _cw_words")
         for off in range(0, n - k + 1, seg):
             chunk = seq[off : off + seg + k - 1]
             self._add_segment(bytes(chunk), off == 0)

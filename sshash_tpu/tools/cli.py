@@ -41,6 +41,10 @@ def _add_build(sub):
                    help="shard the minimizer-tuple scan over N worker "
                         "PROCESSES spilling to a shared dir (multi-host "
                         "analog; bit-identical at any count)")
+    p.add_argument("--scan-dir", default=None,
+                   help="assemble from a directory ALREADY spilled by "
+                        "--scan-procs ranks of the worker CLI "
+                        "(python -m sshash_tpu.builder.distributed)")
 
 
 def _add_query(sub):
@@ -96,7 +100,7 @@ def _build(args):
                       canonical=args.canonical, weighted=args.weighted, verbose=args.verbose,
                       ram_limit_mb=args.ram_mb, tmp_dir=args.tmp_dir,
                       threads=args.threads, lmbda=args.lmbda,
-                      scan_procs=args.scan_procs)
+                      scan_procs=args.scan_procs, scan_dir=args.scan_dir)
     d = Dictionary.build(args.input, cfg)
     d.print_info()
     if args.check:

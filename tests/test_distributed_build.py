@@ -63,3 +63,40 @@ def test_scan_shard_blocks_partition_tuples(tmp_path):
     for w in range(W):
         meta = json.load(open(tmp_path / f"meta_w{w}.json"))
         assert meta["tuples"] == counts[w]
+
+
+def test_assemble_from_prespilled_dir(tmp_path, rng):
+    """The real multi-host recipe: ranks run the worker CLI against a shared
+    directory; the coordinator assembles with BuildConfig(scan_dir=...) —
+    bit-identical to the in-RAM build, meta files verified."""
+    import json
+    import subprocess
+    import sys
+
+    W = 2
+    for w in range(W):
+        subprocess.run([sys.executable, "-m", "sshash_tpu.builder.distributed",
+                        "--input", SE_K31, "-k", "31", "-m", "13",
+                        "--seed", "1", "--wid", str(w), "--nworkers", str(W),
+                        "--dir", str(tmp_path)], check=True)
+    d = Dictionary.build(SE_K31, BuildConfig(
+        k=31, m=13, verbose=False, avg_partition_size=20_000,
+        scan_procs=W, scan_dir=str(tmp_path)))
+    d_ram = Dictionary.build(SE_K31, BuildConfig(
+        k=31, m=13, verbose=False, avg_partition_size=20_000))
+    _assert_index_equal(d.index, d_ram.index)
+
+    # a rank that scanned a different/stale input must be rejected
+    meta = json.load(open(tmp_path / "meta_w0.json"))
+    meta["chars_seen"] -= 1
+    json.dump(meta, open(tmp_path / "meta_w0.json", "w"))
+    with pytest.raises(RuntimeError, match="same input"):
+        Dictionary.build(SE_K31, BuildConfig(
+            k=31, m=13, verbose=False, scan_procs=W, scan_dir=str(tmp_path)))
+    # and a missing rank
+    meta["chars_seen"] += 1
+    json.dump(meta, open(tmp_path / "meta_w0.json", "w"))
+    (tmp_path / "meta_w1.json").unlink()
+    with pytest.raises(RuntimeError, match="rank 1"):
+        Dictionary.build(SE_K31, BuildConfig(
+            k=31, m=13, verbose=False, scan_procs=W, scan_dir=str(tmp_path)))
