@@ -197,6 +197,13 @@ def _stream_parse_pack_scan(input_path, k, m, magic, config, chunk_chars=1 << 26
         ep = np.zeros(len(buf_lens) + 1, dtype=np.int64)
         np.cumsum(buf_lens, out=ep[1:])
         if pool is not None:
+            # bounded in-flight window: each queued future pins its ~64MB
+            # codes chunk, so an unbounded backlog would grow with input
+            # size and break the peak-RAM contract below
+            while sum(not r.done() for r, _ in results
+                      if hasattr(r, "done")) >= 2 * threads:
+                next(r for r, _ in results
+                     if hasattr(r, "done") and not r.done()).result()
             results.append((pool.submit(native.tuple_scan, codes, ep, k, m,
                                         magic, config.canonical), base))
         else:

@@ -131,7 +131,13 @@ def scan_shard(input_path, k, m, seed, canonical, wid, nworkers, shared_dir,
         base += len(seq)
     flush()
     router.flush()
-    meta = {"wid": wid, "tuples": int(router.total), "chars_seen": int(base)}
+    # the full scan parameter set rides the meta file so the coordinator can
+    # reject a rank that scanned with different parameters (same chars_seen,
+    # different minimizers) or a different rank count (missing blocks)
+    meta = {"wid": wid, "nworkers": int(nworkers), "k": int(k), "m": int(m),
+            "seed": int(seed), "canonical": bool(canonical),
+            "block_chars": int(block_chars),
+            "tuples": int(router.total), "chars_seen": int(base)}
     with open(os.path.join(shared_dir, f"meta_w{wid}.json"), "w") as f:
         json.dump(meta, f)
     return router.total
@@ -228,10 +234,14 @@ def _build_distributed(input_path, config, stats, timed, k, m, ram_bytes,
 
     parsed, words64 = timed("step 1 (parse + pack strings)", pack_strings)
 
-    # integrity cross-check: every rank must have spilled, and against the
-    # SAME input the coordinator just parsed (a stale/truncated copy on one
-    # host would otherwise assemble a silently wrong index)
+    # integrity cross-check: every rank must have spilled, against the SAME
+    # input the coordinator just parsed AND with the same scan parameters/
+    # rank count (a rank run with different -m/--seed/--nworkers would
+    # otherwise assemble a silently wrong or incomplete index)
     total_chars = int(parsed.endpoints[-1])
+    want = {"nworkers": nprocs, "k": k, "m": m, "seed": seed0,
+            "canonical": bool(config.canonical), "block_chars": block_chars,
+            "chars_seen": total_chars}
     for w in range(nprocs):
         mpath = os.path.join(tmpdir, f"meta_w{w}.json")
         if not os.path.exists(mpath):
@@ -240,11 +250,24 @@ def _build_distributed(input_path, config, stats, timed, k, m, ram_bytes,
                 f"did every rank run the worker CLI with --nworkers {nprocs}?")
         with open(mpath) as fh:
             meta = json.load(fh)
-        if meta.get("chars_seen") != total_chars or meta.get("wid") != w:
+        if meta.get("wid") != w or meta.get("chars_seen") != total_chars:
             raise RuntimeError(
                 f"scan rank {w} saw {meta.get('chars_seen')} input chars but "
                 f"the coordinator parsed {total_chars} — ranks must scan the "
                 f"exact same input file")
+        bad = {kk: (meta.get(kk), vv) for kk, vv in want.items()
+               if meta.get(kk) != vv and kk != "chars_seen"}
+        if bad:
+            raise RuntimeError(
+                f"scan rank {w} ran with different parameters than this "
+                f"assembly: {bad} (got, want)")
+    extra = sorted(p for p in os.listdir(tmpdir)
+                   if p.startswith("meta_w") and p.endswith(".json")
+                   and not any(p == f"meta_w{w}.json" for w in range(nprocs)))
+    if extra:
+        raise RuntimeError(
+            f"spill dir has meta files beyond rank {nprocs - 1}: {extra} — "
+            f"scan_procs must equal the worker count that spilled")
 
     scan_seed = int(H.splitmix64(U64(seed0)))
     router = _UnionRouter(tmpdir, scan_seed, ram_bytes // 2,

@@ -663,7 +663,12 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0,
     # on hardware, scripts/exp_r3_lookup5.py).
     import os
 
-    _div = int(os.environ.get("SSHASH_PAIR_DIV", "8"))
+    try:
+        _div = max(1, int(os.environ.get("SSHASH_PAIR_DIV", "8")))
+    except ValueError as e:
+        raise ValueError(
+            f"SSHASH_PAIR_DIV must be a positive integer, got "
+            f"{os.environ['SSHASH_PAIR_DIV']!r}") from e
     PMAX = max(128, B // _div)  # pair-window width; multiple windows when exceeded
     need = active0 & midload & ~found & (size > U32(1))
     nprobe = jnp.where(need, size - U32(1), U32(0)).astype(jnp.int32)

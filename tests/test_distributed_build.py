@@ -86,7 +86,19 @@ def test_assemble_from_prespilled_dir(tmp_path, rng):
         k=31, m=13, verbose=False, avg_partition_size=20_000))
     _assert_index_equal(d.index, d_ram.index)
 
-    # a rank that scanned a different/stale input must be rejected
+    # a rank that scanned with different parameters must be rejected
+    with pytest.raises(RuntimeError, match="different parameters"):
+        Dictionary.build(SE_K31, BuildConfig(
+            k=31, m=15, verbose=False, scan_procs=W, scan_dir=str(tmp_path)))
+    # a stale extra rank's meta (from an older, wider run) must be rejected
+    import shutil
+
+    shutil.copy(tmp_path / "meta_w1.json", tmp_path / "meta_w5.json")
+    with pytest.raises(RuntimeError, match="beyond rank 1"):
+        Dictionary.build(SE_K31, BuildConfig(
+            k=31, m=13, verbose=False, scan_procs=W, scan_dir=str(tmp_path)))
+    (tmp_path / "meta_w5.json").unlink()
+    # and a rank that scanned a different/stale input
     meta = json.load(open(tmp_path / "meta_w0.json"))
     meta["chars_seen"] -= 1
     json.dump(meta, open(tmp_path / "meta_w0.json", "w"))
