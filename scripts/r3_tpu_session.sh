@@ -30,4 +30,9 @@ run lookup4 1500 python scripts/exp_r3_lookup4.py
 run lookup5 1500 python scripts/exp_r3_lookup5.py
 # 6. re-run bench for the record after everything is warm/compiled
 run bench2 900 python bench.py
+# 7. 200M-kmer single-chip scale point (index prebuilt host-side; skipped
+# when the build task has not finished)
+if [ -f /tmp/scale/idx200m/meta.json ]; then
+  run scale200m 3000 python scripts/exp_scale_device.py /tmp/scale/idx200m
+fi
 echo "ALL DONE $(date +%T)" | tee -a "$OUT/session.log"
