@@ -36,8 +36,25 @@ def main():
                       "num_minimizers": int(idx.stats.get("num_minimizers", 0))}),
           flush=True)
 
+    # the slot expansion is a multi-pass host job (~16 min at 33M slots on
+    # the throttled dev host): cache it to disk so a tunnel-window retry
+    # pays only the upload
+    import os
+
     t0 = time.perf_counter()
-    eng = DeviceEngine(idx)
+    cache = path.rstrip("/") + ".arrs"
+    if os.path.isdir(cache):
+        host_arrs = {f[:-4]: np.load(os.path.join(cache, f), mmap_mode="r")
+                     for f in sorted(os.listdir(cache)) if f.endswith(".npy")}
+    else:
+        from sshash_tpu.engine import _device_arrays
+
+        host_arrs = _device_arrays(idx)
+        os.makedirs(cache + ".tmp", exist_ok=True)
+        for k2, v in host_arrs.items():
+            np.save(os.path.join(cache + ".tmp", k2 + ".npy"), v)
+        os.rename(cache + ".tmp", cache)
+    eng = DeviceEngine(idx, host_arrs=host_arrs)
     dev_bytes = int(sum(np.asarray(a).nbytes for a in eng.arrs.values()))
     print(json.dumps({"stage": "device_arrays",
                       "sec": round(time.perf_counter() - t0, 1),

@@ -958,10 +958,14 @@ def make_neighbours(cfg):
 class DeviceEngine:
     """Device-resident index + jitted batched query entry points."""
 
-    def __init__(self, index, device=None):
+    def __init__(self, index, device=None, host_arrs=None):
         self.index = index
         self.cfg = StaticCfg(index)
-        host_arrs = _device_arrays(index)
+        # host_arrs: a precomputed _device_arrays(index) pytree (e.g. cached
+        # to disk for very large indexes — the slot expansion is a multi-pass
+        # host job; scripts/exp_scale_device.py)
+        if host_arrs is None:
+            host_arrs = _device_arrays(index)
         self.arrs = {k2: jax.device_put(v, device) for k2, v in host_arrs.items()}
         self._lookup_fn = make_lookup(self.cfg)
         self._lookup = jax.jit(self._lookup_fn)
