@@ -98,22 +98,14 @@ def main():
                     rng.integers(0, index.num_kmers, B).astype(np.uint32)))
                 acc = jax.jit(lambda a, i: eng._access(a, i)[:, 0].sum())
                 access_rate = B / _time_reduced(acc, eng.arrs, ids32)
-                # full-iteration analog (perf.hpp:129-152): decode every kmer
-                # in id order — sequential offsets, one ordered strings sweep
-                sid = np.searchsorted(
-                    index.string_endpoints.astype(np.int64)
-                    - np.arange(len(index.string_endpoints)) * (index.k - 1),
-                    np.arange(index.num_kmers), side="right") - 1
-                offs = (np.arange(index.num_kmers)
-                        + sid.astype(np.int64) * (index.k - 1)).astype(np.uint32)
-                offs_d = jax.device_put(jnp.asarray(offs))
-                from sshash_tpu.ops import packed as Pk
-
-                it = jax.jit(lambda a, o: Pk.read_kmers_at(
-                    a["strings32"], o, index.k)[:, 0].sum())
-                iterator_rate = index.num_kmers / _time_reduced(it, eng.arrs,
-                                                                offs_d)
-                del ids32, offs_d
+                # full iteration (perf.hpp:10-24): the SEQUENTIAL-DECODE
+                # kernel — one linear shift-window pass over strings32, no
+                # gathers (engine.make_iterator); at this index size the
+                # end-to-end rate is dispatch-bound (~40 ms/call), the
+                # kernel itself runs ~0.4 ns/kmer (scripts/exp_r4_iterator)
+                it = jax.jit(lambda a: eng._iterator(a)[1])
+                iterator_rate = index.num_kmers / _time_reduced(it, eng.arrs)
+                del ids32
             except Exception as e:  # noqa: BLE001 — report partial results
                 print(f"secondary bench axes failed: {type(e).__name__}: {e}",
                       file=sys.stderr)

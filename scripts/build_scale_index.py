@@ -37,7 +37,9 @@ def main():
 
     wd = os.path.dirname(args.out) or "/tmp/scale"
     os.makedirs(wd, exist_ok=True)
-    fa = os.path.join(wd, "scale.fa")
+    # kmers/k ride the filename so a re-run with different parameters can
+    # never silently reuse a mismatched FASTA
+    fa = os.path.join(wd, f"scale_{args.kmers}_k{args.k}.fa")
     if not os.path.exists(fa):
         generate(fa, args.kmers, args.k)
 
@@ -59,12 +61,21 @@ def main():
     # precompute the slot-expanded device pytree too (the multi-pass host
     # job exp_scale_device would otherwise do inline), so the TPU step is
     # pure upload + kernel
+    cache = args.out.rstrip("/") + ".arrs"
+    if os.path.isdir(cache):
+        print(json.dumps({"stage": "device_arrays_cache", "skipped": True,
+                          "cache": cache}), flush=True)
+        return 0
     t0 = time.perf_counter()
     from sshash_tpu.engine import _device_arrays
 
     host_arrs = _device_arrays(d.index)
-    cache = args.out.rstrip("/") + ".arrs"
-    os.makedirs(cache + ".tmp", exist_ok=True)
+    # a stale .tmp from a crashed run must not leak leftover .npy files into
+    # the renamed cache (exp_scale_device loads every *.npy wholesale)
+    import shutil
+
+    shutil.rmtree(cache + ".tmp", ignore_errors=True)
+    os.makedirs(cache + ".tmp")
     for k2, v in host_arrs.items():
         np.save(os.path.join(cache + ".tmp", k2 + ".npy"), v)
     os.rename(cache + ".tmp", cache)

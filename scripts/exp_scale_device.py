@@ -90,6 +90,73 @@ def main():
                       "device_bytes": dev_bytes}), flush=True)
     assert ok == B, f"id round-trip failed: {ok}/{B}"
 
+    # sequential-decode full iteration at scale: one linear pass over all
+    # ~200M kmers per call — the per-call ~40ms dispatch is amortized here,
+    # unlike the 4.8M-kmer salmonella bench (reference iterator axis:
+    # 2.5 ns/kmer single thread, tools/perf.hpp:10-24)
+    try:
+        from sshash_tpu.engine import make_iterator
+
+        it = jax.jit(make_iterator(eng.cfg))
+        t0 = time.perf_counter()
+        cnt, chk = jax.tree.map(np.asarray, it(eng.arrs))
+        print(json.dumps({"stage": "iterator_compile",
+                          "sec": round(time.perf_counter() - t0, 1)}), flush=True)
+        best_it = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(it(eng.arrs)[1])
+            best_it = min(best_it, time.perf_counter() - t0)
+        print(json.dumps({"exp": "scale_iterator",
+                          "num_kmers": int(cnt),
+                          "count_ok": int(cnt) == int(idx.num_kmers),
+                          "sec": round(best_it, 3),
+                          "ns_per_kmer": round(best_it * 1e9 / int(cnt), 3),
+                          "kmers_per_s": round(int(cnt) / best_it)}), flush=True)
+    except Exception as e:  # noqa: BLE001 — keep the lookup row on failure
+        print(json.dumps({"exp": "scale_iterator", "error": repr(e)}), flush=True)
+
+    # one warm streaming pass (high-hit: the source FASTA self-hits) over
+    # the first reads of the scale collection
+    try:
+        from sshash_tpu.streaming import streaming_query_from_file
+
+        src = None
+        base = os.path.dirname(path) or "."
+        for f in sorted(os.listdir(base)):
+            if f.startswith("scale") and f.endswith(".fa"):
+                src = os.path.join(base, f)
+                break
+        if src is None:
+            raise FileNotFoundError("scale FASTA not found next to the index")
+        # limit to ~10M chars: copy the first 100 records
+        part = os.path.join(base, "stream_part.fa")
+        if not os.path.exists(part):
+            with open(src) as fin, open(part, "w") as fout:
+                for i, line in enumerate(fin):
+                    if i >= 200:
+                        break
+                    fout.write(line)
+
+        class _D:  # minimal Dictionary-like shim for streaming_query_from_file
+            index = idx
+
+            def to_device(self):
+                return eng
+
+        CH = 5 << 20
+        rep = streaming_query_from_file(_D(), part, use_device=True, chunk=CH)
+        rep = streaming_query_from_file(_D(), part, use_device=True, chunk=CH)
+        print(json.dumps({"exp": "scale_streaming_high_hit",
+                          "num_kmers": int(rep["num_kmers"]),
+                          "positive": int(rep["num_positive_kmers"]),
+                          "kmers_per_s": round(rep["num_kmers"] /
+                                               (rep["elapsed_millisec"] / 1e3))}),
+              flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"exp": "scale_streaming_high_hit", "error": repr(e)}),
+              flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -204,10 +204,17 @@ def _build_distributed(input_path, config, stats, timed, k, m, ram_bytes,
 
         def scan_procs():
             # plain CLI subprocesses, no pickled state: the same command a
-            # real multi-host deployment runs per host rank
+            # real multi-host deployment runs per host rank. `-m
+            # sshash_tpu.builder.distributed` must resolve without a pip
+            # install and from any cwd, so the repo root rides PYTHONPATH.
+            repo = os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+            env = dict(os.environ)
+            env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
             procs = [subprocess.Popen(_worker_argv(
                 input_path, k, m, seed0, config.canonical, w, nprocs,
-                tmpdir, worker_ram, block_chars)) for w in range(nprocs)]
+                tmpdir, worker_ram, block_chars), env=env)
+                for w in range(nprocs)]
             for p in procs:
                 p.wait()
             bad = [p.returncode for p in procs if p.returncode != 0]

@@ -73,10 +73,11 @@ def _device_arrays(index):
     """Host Index -> device pytree (all uint32)."""
     # device offsets/ids are uint32 (no int64 on the VPU path); past this a
     # build needs per-shard offset rebasing — fail loudly, never wrap
-    if index.num_chars >= 1 << 32 or index.num_kmers >= 1 << 32:
+    if index.num_chars >= 1 << 32 or index.num_kmers >= 1 << 31:
         raise ValueError(
-            f"device engines address chars/ids as uint32; this index has "
-            f"{index.num_chars} chars / {index.num_kmers} kmers (>= 2^32). "
+            f"device engines address chars as uint32 and pack kmer ids into "
+            f"31 bits (the ids-mode pair scatter); this index has "
+            f"{index.num_chars} chars / {index.num_kmers} kmers. "
             f"Split the input or use multiple indexes until per-shard "
             f"offset rebasing lands.")
     from .index import decode_codeword
@@ -106,6 +107,12 @@ def _device_arrays(index):
 
     f = index.minimizer_mphf
     s32 = K.pack_words_to_u32(index.strings64)
+    # valid-start bits packed 32/word for the sequential iterator (bit o of
+    # word o//32 == a kmer may start at char offset o); padded with zeros to
+    # cover every sentinel word of strings32
+    vpad = np.zeros(-(-16 * len(s32) // 32) * 32, dtype=bool)
+    vpad[: len(vstart)] = vstart
+    vstart32 = np.packbits(vpad, bitorder="little").view(np.uint32)
     # one row per raw MPHF slot: [status|b<<2, a, candidate0, vbits..,
     # window..]. candidate0 is precomputed (the singleton offset, or
     # mid_load[a] for midload) and the row carries the packed-string window
@@ -155,7 +162,22 @@ def _device_arrays(index):
     c0rows = fused_rows(np.where(heavym, 0, cand0.astype(np.int64)).astype(np.uint32))
     c0rows[heavym, 1:] = 0
     c0rows[heavym, 0] = cand0[heavym]
-    cols = [sb, a.astype(np.uint32)] + [c0rows[:, i] for i in range(c0rows.shape[1])]
+    # candidate 1 rides the SAME row: buckets of size 2 (the overwhelming
+    # majority of non-singletons at any sane m — e.g. salmonella m17 is
+    # 99.4% singleton / 0.5% size-2 / 0.1% bigger by lane weight) then
+    # resolve entirely in the one codeword gather; the compacted pair sweep
+    # only serves the size>=3 tail
+    has2 = midm & (b >= 2)
+    cand1 = np.zeros_like(cand0)
+    if len(mid_arr):
+        cand1 = np.where(
+            has2, mid_arr[np.clip(a.astype(np.int64) + 1, 0, len(mid_arr) - 1)],
+            np.uint32(0))
+    c1rows = fused_rows(cand1)
+    c1rows[~has2, :] = 0
+    cols = [sb, a.astype(np.uint32)] \
+        + [c0rows[:, i] for i in range(c0rows.shape[1])] \
+        + [c1rows[:, i] for i in range(c1rows.shape[1])]
     cw_row = np.stack([_expand_to_slots(col, f) for col in cols], axis=1)
     mid_rows = fused_rows(mid_arr) \
         if len(mid_arr) else np.zeros((1, 1 + Wv + Ww + 4), np.uint32)
@@ -164,6 +186,7 @@ def _device_arrays(index):
         if len(heavy_arr) else np.zeros((1, 1 + Wv + Ww + 4), np.uint32)
     arrs = {
         "strings32": s32,
+        "vstart32": vstart32,
         "sidk32": sidk32,
         "kmer_cum": (
             index.string_endpoints.astype(np.int64)
@@ -267,6 +290,21 @@ def _device_arrays(index):
                 f"row gathers address int32. Shard the index over a mesh "
                 f"(parallel.ShardedEngine) instead.")
     return arrs
+
+
+def vstart32_from_index(index):
+    """The packed valid-start bitmask alone (no slot expansion): bit o set
+    iff a kmer may start at char offset o. Used to top up host_arrs caches
+    written before the sequential iterator landed, and cheap even at 200M
+    chars (k-1 vectorized scatters over string ends + one packbits)."""
+    nW = len(K.pack_words_to_u32(index.strings64))
+    nbits = -(-16 * nW // 32) * 32
+    v = np.zeros(nbits, dtype=bool)
+    v[: index.num_chars] = True
+    ep = index.string_endpoints.astype(np.int64)[1:]
+    for j in range(1, index.k):
+        v[ep - j] = False
+    return np.packbits(v, bitorder="little").view(np.uint32)
 
 
 def _pilots_u32(mphf):
@@ -655,7 +693,22 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0,
     # no candidate can match (all are occurrences of that other m-mer)
     active0 = active0 & (guard_ok | heavy)
 
-    # ---- candidates 1..size-1 (midload only): compacted pair sweep
+    # ---- candidate 1 rides the same row (size-2 buckets need no sweep)
+    rowW = 1 + Wv + Ww + 4
+    c1blk = row[:, 2 + rowW : 2 + 2 * rowW]
+    f1, bko1, bor1, sid1, sb1, se1 = verify_fused(
+        c1blk[:, 0], c1blk[:, 1 : 1 + Wv], c1blk[:, 1 + Wv : 1 + Wv + Ww],
+        c1blk[:, 1 + Wv + Ww :],
+        active0 & midload & (size >= U32(2)) & ~found,
+        kmers32, kmers_rc32, tries)
+    found = found | f1
+    bko = jnp.where(f1, bko1, bko)
+    bor = jnp.where(f1, bor1, bor)
+    bsid = jnp.where(f1, sid1, bsid)
+    bsb = jnp.where(f1, sb1, bsb)
+    bse = jnp.where(f1, se1, bse)
+
+    # ---- candidates 2..size-1 (midload size >= 3 only): compacted pair sweep
     # Window width trades per-window cost (the PMAX-wide mrow gather
     # dominates it) against window COUNT for pair-heavy batches; random
     # batches over a mostly-singleton index fill only a few % of B, so a
@@ -670,8 +723,8 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0,
             f"SSHASH_PAIR_DIV must be a positive integer, got "
             f"{os.environ['SSHASH_PAIR_DIV']!r}") from e
     PMAX = max(128, B // _div)  # pair-window width; multiple windows when exceeded
-    need = active0 & midload & ~found & (size > U32(1))
-    nprobe = jnp.where(need, size - U32(1), U32(0)).astype(jnp.int32)
+    need = active0 & midload & ~found & (size > U32(2))
+    nprobe = jnp.where(need, size - U32(2), U32(0)).astype(jnp.int32)
     # both compaction sums ride ONE two-column grouped scan
     ps2 = P.prefix_sum_ex(jnp.stack([nprobe, need.astype(jnp.int32)], axis=1))
     starts, rank = ps2[:, 0], ps2[:, 1]
@@ -696,7 +749,7 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0,
         lane = _take(lane_ids, jnp.clip(seg, 0, B - 1).astype(U32))
         pvalid = gid < total
         lane_u = lane.astype(U32)
-        j = (gid - _take(starts, lane_u)).astype(U32) + U32(1)
+        j = (gid - _take(starts, lane_u)).astype(U32) + U32(2)
         midx = _take(cw_a, lane_u) + j
         mrow = jnp.take(arrs["mid_rows"], midx.astype(I32), axis=0, mode="clip")
         lk = jnp.take(kmers32, lane, axis=0, mode="clip")
@@ -710,27 +763,31 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0,
         # SPSS), so scatter-max combines are exact; all result fields ride
         # ONE (B, C) scatter (each B-wide scatter pass costs ~2 ns/lane).
         # ids mode resolves kmer_id per-probe in-register (id = off -
-        # sid*(k-1), the quad is already in the row) and scatters only
-        # [id+1, orient] — one column fewer than [off, orient, sid]; the
-        # carry then holds (bko=id, bsid=0) so the shared final resolve
-        # `bko - bsid*(k-1)` stays correct.
+        # sid*(k-1), the quad is already in the row) and packs
+        # [id+1 | backward-bit] into ONE scatter column (ids < 2^31 by the
+        # uint32 chars/ids guard); the carry then holds (bko=id, bsid=0) so
+        # the shared final resolve `bko - bsid*(k-1)` stays correct.
         tgt = jnp.where(pm, lane, B)
         if full:
             cols = [pko + U32(1), (por + I32(2)).astype(U32), psid, psb, pse]
-        else:
-            pkid = pko - psid * U32(k - 1)
-            cols = [pkid + U32(1), (por + I32(2)).astype(U32)]
-        acc = jnp.zeros((B, len(cols)), dtype=U32).at[tgt].max(
-            jnp.stack(cols, axis=1), mode="drop")
-        hit = acc[:, 0]
-        newly = hit > 0
-        bko = jnp.where(newly, hit - U32(1), bko)
-        bor = jnp.where(newly, acc[:, 1].astype(I32) - I32(2), bor)
-        if full:
+            acc = jnp.zeros((B, len(cols)), dtype=U32).at[tgt].max(
+                jnp.stack(cols, axis=1), mode="drop")
+            hit = acc[:, 0]
+            newly = hit > 0
+            bko = jnp.where(newly, hit - U32(1), bko)
+            bor = jnp.where(newly, acc[:, 1].astype(I32) - I32(2), bor)
             bsid = jnp.where(newly, acc[:, 2], bsid)
             bsb = jnp.where(newly, acc[:, 3], bsb)
             bse = jnp.where(newly, acc[:, 4], bse)
         else:
+            pkid = pko - psid * U32(k - 1)
+            packed = ((pkid + U32(1)) << U32(1)) | (por < 0).astype(U32)
+            acc1 = jnp.zeros((B,), dtype=U32).at[tgt].max(
+                jnp.where(pm, packed, U32(0)), mode="drop")
+            newly = acc1 > 0
+            bko = jnp.where(newly, (acc1 >> U32(1)) - U32(1), bko)
+            bor = jnp.where(newly,
+                            I32(1) - I32(2) * (acc1 & U32(1)).astype(I32), bor)
             bsid = jnp.where(newly, U32(0), bsid)
         found = found | newly
         return found, bko, bor, bsid, bsb, bse
@@ -928,6 +985,36 @@ def make_access(cfg):
     return fn
 
 
+def make_iterator(cfg, materialize=False):
+    """Full-iteration kernel (reference dictionary::begin + iterator::next,
+    spectrum_preserving_string_set.hpp:120-179; perf analog
+    tools/perf.hpp:10-24): ONE linear shift-window pass over strings32 —
+    no gathers, unlike make_access over precomputed offsets. Every char
+    offset decodes its kmer in parallel; the valid-start bitmask keeps
+    exactly the num_kmers true starts, whose offset order IS the
+    sequential id order (ids never materialize — rank == id).
+
+    materialize=True returns (valid (C,), kmers (C, W)) for tests;
+    default returns (count, checksum-of-word0) scalars — the perf-harness
+    shape (the reference reads kmer.at(0) per step and discards)."""
+    k = cfg.k
+
+    def fn(arrs):
+        s = arrs["strings32"]
+        kmers = P.iterate_kmers(s, k)
+        C = kmers.shape[0]
+        v32 = arrs["vstart32"]
+        bits = (v32[:, None] >> jnp.arange(32, dtype=U32)[None, :]) & U32(1)
+        valid = bits.reshape(-1)[:C] != 0
+        if materialize:
+            return valid, kmers
+        cnt = valid.sum(dtype=I32)
+        chk = jnp.sum(jnp.where(valid, kmers[:, 0], U32(0)), dtype=U32)
+        return cnt, chk
+
+    return fn
+
+
 def make_weight(cfg):
     def fn(arrs, ids):
         i = jnp.searchsorted(arrs["w_endpoints"], ids, side="right").astype(I32) - 1
@@ -966,6 +1053,10 @@ class DeviceEngine:
         # host job; scripts/exp_scale_device.py)
         if host_arrs is None:
             host_arrs = _device_arrays(index)
+        elif "vstart32" not in host_arrs:
+            # cache written before the sequential iterator landed
+            host_arrs = dict(host_arrs)
+            host_arrs["vstart32"] = vstart32_from_index(index)
         self.arrs = {k2: jax.device_put(v, device) for k2, v in host_arrs.items()}
         self._lookup_fn = make_lookup(self.cfg)
         self._lookup = jax.jit(self._lookup_fn)
@@ -976,6 +1067,7 @@ class DeviceEngine:
         self._access = jax.jit(make_access(self.cfg))
         self._weight = jax.jit(make_weight(self.cfg)) if index.weights is not None else None
         self._neighbours = jax.jit(make_neighbours(self.cfg))
+        self._iterator = jax.jit(make_iterator(self.cfg))
         # SSHASH_DEBUG=1: sanitizer mode (debug.py) — postcondition-checked
         # lookups + NaN trapping, the reference's -D SSHASH_USE_SANITIZERS
         # analog (CMakeLists.txt:39-41)

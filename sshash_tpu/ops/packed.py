@@ -251,6 +251,34 @@ def char_mmer_hashes(words32, n_chars_padded, m, magic):
     return h_f, h_r
 
 
+def iterate_kmers(words32, k):
+    """SEQUENTIAL-DECODE iteration: the kmer starting at EVERY char offset
+    of the packed strings, as ONE linear shift-window pass — no gathers
+    (device analog of the reference spss iterator,
+    spectrum_preserving_string_set.hpp:120-179: a cursor walking the
+    bit_vector one char at a time; here all offsets decode at once).
+
+    Char offset o = 16*q + p reads words q..q+W shifted by 2p; stacking the
+    16 phases and reshaping row-major yields offset order (same trick as
+    char_mmer_hashes). Returns (16*nW, W32) uint32 — callers mask with the
+    valid-start bits (offsets whose kmer would cross a string end)."""
+    W = num_words32(k)
+    srcs = [words32]
+    for j in range(1, W + 1):
+        srcs.append(jnp.concatenate([words32[j:], jnp.zeros((j,), U32)]))
+    cols = []
+    for j in range(W):
+        phases = []
+        for p in range(16):
+            b = 2 * p
+            if b == 0:
+                phases.append(srcs[j])
+            else:
+                phases.append((srcs[j] >> b) | (srcs[j + 1] << (32 - b)))
+        cols.append(jnp.stack(phases, axis=1).reshape(-1))
+    return mask_last_word(jnp.stack(cols, axis=1), k)
+
+
 def sliding_min_u64(h, w):
     """min over windows [c, c+w) of a u64 array (C,), via log-steps of
     shifted mins (value-only; ties don't matter for equality tests)."""

@@ -350,7 +350,9 @@ def make_sharded_stream(cfg, per_shard, data_axis="data", bucket_axis="bucket",
 
 class _ChunkRow:
     """Deferred handle to one data-shard row of a stacked stream-step output
-    (resolves after the group dispatch; consumed by _DeviceStream._fold)."""
+    (resolves after the group dispatch; consumed by _DeviceStream._fold).
+    Multi-controller: the stacked output is sharded over processes, so the
+    handle's index is LOCAL and only this process's rows resolve."""
 
     __slots__ = ("value",)
 
@@ -360,7 +362,10 @@ class _ChunkRow:
     def __array__(self, dtype=None, copy=None):
         assert self.value is not None, "stream group was never dispatched"
         arr, i = self.value
-        out = np.asarray(arr)[i]
+        if getattr(arr, "is_fully_addressable", True):
+            out = np.asarray(arr)[i]
+        else:
+            out = _local_rows(arr)[2][i]
         return out.astype(dtype) if dtype is not None else out
 
 
@@ -376,8 +381,17 @@ class ShardedStream(_DeviceStream):
     Host-side chunking, segment splitting, counter folding and the
     cross-chunk carry stitch are inherited from streaming._DeviceStream;
     chunks fold in stream order, so consecutive chunks may land on
-    different data shards. Single-controller only (the stacked output rows
-    must all be addressable)."""
+    different data shards.
+
+    MULTI-CONTROLLER (jax.process_count() > 1): each process feeds its OWN
+    reads — its chunks fill the data rows its devices hold, the stacked
+    step is a collective (inputs assembled with
+    make_array_from_process_local_data, each host uploading only its rows),
+    and each process folds only its own chunks' counters (reads never
+    straddle processes, so the k-1 carry stays local). finalize() aligns
+    the number of collective rounds across processes (idle processes run
+    empty rounds) and allreduces the report. Every process must construct
+    the stream and call finalize() (SPMD contract)."""
 
     def __init__(self, engine, pmax=1 << 18, rmax_shift=4):
         import jax.numpy as jnp
@@ -389,6 +403,16 @@ class ShardedStream(_DeviceStream):
         self._no_ladder = True  # one compiled stacked shape
         data_axis, bucket_axis = engine.mesh.axis_names
         self.D = engine.mesh.shape[data_axis]
+        self._data_axis = data_axis
+        self.procs = jax.process_count()
+        if self.procs > 1:
+            from . import multihost
+
+            lo, hi = multihost.local_row_range(engine.mesh, self.D, data_axis)
+            self.D_local = hi - lo
+        else:
+            self.D_local = self.D
+        self._rounds = 0
         self._slots = []
         self._jnp = jnp
 
@@ -429,41 +453,62 @@ class ShardedStream(_DeviceStream):
             out_specs=P(data_axis, None, None), check_vma=False))
 
     # _DeviceStream.flush calls this with device-ready args; buffer a slot
-    # per chunk and dispatch when every data shard has one
+    # per chunk and dispatch when every LOCAL data shard has one (the
+    # dispatch is async, so a multi-controller round merely enqueues the
+    # collective — it executes once every process has enqueued its match)
     def _step(self, arrs, words32, rnpos, rfirst, valid_bits, count, nreads):
         h = _ChunkRow()
         self._slots.append((np.asarray(words32), np.asarray(rnpos),
                             np.asarray(rfirst), np.asarray(valid_bits),
                             int(count), int(nreads), h))
-        if len(self._slots) == self.D:
+        if len(self._slots) == self.D_local:
             self._dispatch()
         return h
 
-    def _dispatch(self):
+    def _dispatch(self, force_empty=False):
         import jax.numpy as jnp
 
-        if not self._slots:
+        if not self._slots and not force_empty:
             return
         slots = self._slots
         self._slots = []
-        pad = self.D - len(slots)
-        z = (np.zeros_like(slots[0][0]), np.zeros_like(slots[0][1]),
-             np.zeros_like(slots[0][2]), np.zeros_like(slots[0][3]), 0, 0,
-             _ChunkRow())
+        shapes = ((self.CW,), (self.R,), (self.R // 32 + 1,),
+                  (self.P // 32 + 1,))
+        pad = self.D_local - len(slots)
+        z = tuple(np.zeros(s, np.uint32) for s in shapes) + (0, 0, _ChunkRow())
         slots = slots + [z] * pad
         stk = [np.stack([s[i] for s in slots]) for i in range(4)]
         cnt = np.array([s[4] for s in slots], dtype=np.uint32)
         nr = np.array([s[5] for s in slots], dtype=np.uint32)
-        out = self._stacked(self.eng.arrs, jnp.asarray(stk[0]),
-                            jnp.asarray(stk[1]), jnp.asarray(stk[2]),
-                            jnp.asarray(stk[3]), jnp.asarray(cnt),
-                            jnp.asarray(nr))
+        if self.procs == 1:
+            ins = [jnp.asarray(x) for x in stk + [cnt, nr]]
+        else:
+            from . import multihost
+
+            mesh, ax = self.eng.mesh, self._data_axis
+            ins = [multihost.make_global_batch(x, mesh, (self.D,) + x.shape[1:],
+                                               data_axis=ax)
+                   for x in stk + [cnt, nr]]
+        out = self._stacked(self.eng.arrs, *ins)
+        self._rounds += 1
         for i, s in enumerate(slots):
             s[6].value = (out, i)
 
     def finalize(self):
         self.flush()
         self._dispatch()  # partial last group
+        if self.procs > 1:
+            from jax.experimental import multihost_utils
+
+            rounds = multihost_utils.process_allgather(
+                np.array([self._rounds]))
+            for _ in range(int(rounds.max()) - self._rounds):
+                self._dispatch(force_empty=True)
+            rep = super().finalize()  # local chunks only
+            keys = sorted(rep)
+            allv = multihost_utils.process_allgather(
+                np.array([rep[k2] for k2 in keys], dtype=np.int64))
+            return dict(zip(keys, (int(x) for x in allv.sum(axis=0))))
         return super().finalize()
 
 

@@ -181,31 +181,52 @@ def _bench(args):
             # block_until_ready does not truly block over the axon tunnel;
             # fetching one element forces end-to-end execution
             leaf = jax.tree.leaves(r)[0]
-            np.asarray(leaf[:1])
+            np.asarray(leaf if np.ndim(leaf) == 0 else leaf[:1])
             return r
         kmers, neg, ids = km32_pos, km32_neg, ids_dev
 
-    # iterator = sequential-id access (reference perf_test_iterator,
-    # tools/perf.hpp:126-157)
+    # iterator = the sequential-decode kernel over the WHOLE index (one
+    # linear strings32 pass, reference perf_test_iterator tools/perf.hpp:
+    # 10-24); host engines fall back to sequential-id access
     if args.host:
         seq_ids = np.arange(B)
+        run_it, it_arg, it_n = run_a, seq_ids, B
     else:
-        import jax
-        import jax.numpy as jnp
+        run_it, it_arg, it_n = (lambda _: eng._iterator(eng.arrs)), None, \
+            index.num_kmers
 
-        seq_ids = jax.device_put(jnp.arange(B, dtype=jnp.uint32))
+    axes = [("positive_lookup", run_l, kmers, B),
+            ("negative_lookup", run_l, neg, B),
+            ("access", run_a, ids, B),
+            ("iterator", run_it, it_arg, it_n)]
+    # lookup+weight (reference perf_test_lookup_weight, perf.hpp:110-155)
+    if index.weights is not None:
+        if args.host:
+            from .. import oracle
 
-    for name, fn, arg in (("positive_lookup", run_l, kmers),
-                          ("negative_lookup", run_l, neg),
-                          ("access", run_a, ids),
-                          ("iterator", run_a, seq_ids)):
+            def run_lw(x):
+                r = oracle.lookup(index, x)
+                kid = r["kmer_id"]
+                ok = kid != np.uint64(0xFFFFFFFFFFFFFFFF)
+                w = np.zeros(len(kid), dtype=np.uint64)
+                w[ok] = index.weight(kid[ok])
+                return w
+        else:
+            import jax
+
+            lw = jax.jit(lambda a, x: eng._weight(
+                a, eng._lookup_ids_fn(a, x)["kmer_id"]))
+            run_lw = lambda x: lw(eng.arrs, x)
+        axes.append(("positive_lookup_weight", run_lw, kmers, B))
+
+    for name, fn, arg, n in axes:
         sync(fn(arg))  # warmup/compile
         best = float("inf")
         for _ in range(args.runs):
             t0 = time.perf_counter()
             sync(fn(arg))
             best = min(best, time.perf_counter() - t0)
-        rows[f"{name} (avg_nanosec_per_kmer)"] = best * 1e9 / B
+        rows[f"{name} (avg_nanosec_per_kmer)"] = best * 1e9 / n
     rows["batch"] = B
     print(json.dumps(rows))
     return 0

@@ -8,6 +8,10 @@ streaming parity for this process's rows. argv:
 import os
 import sys
 
+# spawned by file path: sys.path[0] is tests/, not the repo root, and the
+# package is not pip-installed in dev environments — bootstrap explicitly
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main():
     pid = int(sys.argv[1])
@@ -100,6 +104,47 @@ def main():
                           sres["kmer_id"], sres["kmer_orientation"], valid,
                           first)
     assert {k2: rep[k2] for k2 in swant} == swant, (rep, swant)
+
+    # MULTI-CONTROLLER packed ShardedStream: each process feeds its OWN
+    # reads (2-bit uploads through the anchored seed-and-extend step); the
+    # collective rounds align at finalize (process 1 feeds more reads than
+    # process 0, so process 0 runs empty rounds) and the report allreduces.
+    # Expected counters = sum of per-process host-batcher reports —
+    # additive because reads never straddle processes.
+    from sshash_tpu.parallel import ShardedStream
+    from sshash_tpu.streaming import _Batcher, _host_lookup
+
+    k = index.k
+    ep = index.string_endpoints.astype(np.int64)
+    kmer_cum = ep - np.arange(len(ep)) * (k - 1)
+
+    def string_text(s):
+        kms = oracle.access(index, np.arange(kmer_cum[s], kmer_cum[s + 1]))
+        flat = kms[:, 0]
+        txt = "".join("ACTG"[(int(flat[0]) >> (2 * j)) & 3] for j in range(k))
+        txt += "".join("ACTG"[(int(v) >> (2 * (k - 1))) & 3]
+                       for v in flat[1:])
+        return txt.encode()
+
+    def reads_for(p):
+        r = np.random.default_rng(100 + p)
+        reads = [string_text(int(r.integers(0, len(ep) - 1)))
+                 for _ in range(2 + 3 * p)]
+        reads.append("".join("ACGT"[c] for c in r.integers(0, 4, 64)).encode())
+        return reads
+
+    st = ShardedStream(eng, pmax=1 << 12)
+    for rd in reads_for(pid):
+        st.add_read(rd)
+    got = st.finalize()
+    want2 = {}
+    for p in range(nproc):
+        hb = _Batcher(index, _host_lookup(index), k)
+        for rd in reads_for(p):
+            hb.add_read(rd)
+        for k2, v in hb.finalize().items():
+            want2[k2] = want2.get(k2, 0) + v
+    assert got == want2, (got, want2)
 
     print(f"MULTIHOST_OK {pid}", flush=True)
 

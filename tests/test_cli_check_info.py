@@ -141,3 +141,20 @@ def test_cli_bench_device(built, capsys):
     rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     for key in ("positive_lookup", "negative_lookup", "access", "iterator"):
         assert f"{key} (avg_nanosec_per_kmer)" in rows
+
+
+def test_cli_bench_weighted_rows(dict_weighted, tmp_path, capsys):
+    """Weighted indexes add the lookup+weight perf axis (reference
+    perf_test_lookup_weight, tools/perf.hpp:110-155) in both engines."""
+    from sshash_tpu.tools.cli import main
+
+    p = str(tmp_path / "w.npz")
+    dict_weighted.save(p)
+    assert main(["bench", "-i", p, "--batch", "2048", "--runs", "1",
+                 "--host"]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "positive_lookup_weight (avg_nanosec_per_kmer)" in rows
+    assert "iterator (avg_nanosec_per_kmer)" in rows
+    assert main(["bench", "-i", p, "--batch", "1024", "--runs", "1"]) == 0
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "positive_lookup_weight (avg_nanosec_per_kmer)" in rows

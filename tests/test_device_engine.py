@@ -208,3 +208,32 @@ def test_tie_retry_variant_matches(dict_k31_canonical, rng, monkeypatch):
     alt = DeviceEngine(idx).lookup(allk)
     for key in ("kmer_id", "kmer_orientation", "string_id", "kmer_offset"):
         np.testing.assert_array_equal(alt[key], base[key], err_msg=key)
+
+
+def test_sequential_iterator_matches_access(dict_k31, eng_k31):
+    """The sequential-decode iterator (one linear shift-window pass, no
+    gathers) yields exactly the num_kmers valid starts, in id order, each
+    bit-equal to access(id) (reference iterator contract,
+    test/check.hpp:177-231)."""
+    import jax
+
+    from sshash_tpu import oracle
+    from sshash_tpu.engine import make_iterator, vstart32_from_index
+
+    index = dict_k31.index
+    valid, kmers = jax.jit(make_iterator(eng_k31.cfg, materialize=True))(
+        eng_k31.arrs)
+    valid = np.asarray(valid)
+    assert valid.sum() == index.num_kmers
+    want = K.kmers_to_u32(oracle.access(index, np.arange(index.num_kmers)),
+                          index.k)
+    np.testing.assert_array_equal(np.asarray(kmers)[valid], want)
+
+    # reduce variant (the perf-harness shape) agrees
+    cnt, chk = jax.tree.map(int, eng_k31._iterator(eng_k31.arrs))
+    assert cnt == index.num_kmers
+    assert chk == int(want[:, 0].astype(np.uint64).sum() & 0xFFFFFFFF)
+
+    # the stale-cache top-up path produces the identical bitmask
+    np.testing.assert_array_equal(np.asarray(eng_k31.arrs["vstart32"]),
+                                  vstart32_from_index(index))

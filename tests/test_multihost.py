@@ -23,6 +23,9 @@ def test_two_process_sharded_parity(dict_k31, tmp_path):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # workers pin their own 4-device count
+    # workers must import sshash_tpu without a pip install, from any cwd
+    repo = os.path.dirname(HERE)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(HERE, "multihost_worker.py"),
