@@ -58,7 +58,9 @@ def main():
     from sshash_tpu.streaming import streaming_query_from_file
 
     rng = np.random.default_rng(0xBE7C)
-    B = 1 << 22
+    # B=8M: +1.6 ns/kmer better dispatch amortization than 4M on the
+    # round-4 kernel (48.5 vs 50.1 ns, scripts/exp_r4_lookup.py)
+    B = 1 << 23
     rates = {}
     engines = {}
     # m=17 over m=15: +0.4 ref-format bits/kmer buys ~17% fewer candidate

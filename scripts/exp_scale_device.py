@@ -43,14 +43,30 @@ def main():
 
     t0 = time.perf_counter()
     cache = path.rstrip("/") + ".arrs"
+    host_arrs = None
     if os.path.isdir(cache):
         host_arrs = {f[:-4]: np.load(os.path.join(cache, f), mmap_mode="r")
                      for f in sorted(os.listdir(cache)) if f.endswith(".npy")}
-    else:
+        from sshash_tpu.engine import StaticCfg
+
+        cfg = StaticCfg(idx)
+        want_w = 2 + 2 * (1 + cfg.vbits_words + cfg.win_words + 4)
+        if host_arrs["cw_row"].shape[1] != want_w:
+            print(json.dumps({"stage": "cache_stale",
+                              "have_cols": int(host_arrs["cw_row"].shape[1]),
+                              "want_cols": want_w}), flush=True)
+            host_arrs = None
+            import shutil
+
+            shutil.rmtree(cache)
+    if host_arrs is None:
         from sshash_tpu.engine import _device_arrays
 
         host_arrs = _device_arrays(idx)
-        os.makedirs(cache + ".tmp", exist_ok=True)
+        import shutil
+
+        shutil.rmtree(cache + ".tmp", ignore_errors=True)
+        os.makedirs(cache + ".tmp")
         for k2, v in host_arrs.items():
             np.save(os.path.join(cache + ".tmp", k2 + ".npy"), v)
         os.rename(cache + ".tmp", cache)

@@ -710,14 +710,15 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0,
 
     # ---- candidates 2..size-1 (midload size >= 3 only): compacted pair sweep
     # Window width trades per-window cost (the PMAX-wide mrow gather
-    # dominates it) against window COUNT for pair-heavy batches; random
-    # batches over a mostly-singleton index fill only a few % of B, so a
-    # narrower window is usually pure savings (SSHASH_PAIR_DIV sweeps it
-    # on hardware, scripts/exp_r3_lookup5.py).
+    # dominates it) against window COUNT for pair-heavy batches; with
+    # candidates 0-1 in-row only the size>=3 tail (~0.1% of lanes at m17)
+    # reaches here, so narrow windows win decisively — the round-4 sweep
+    # (scripts/exp_r4_lookup.py) measured div 8/32/64/256/1024 at
+    # 73.5/51.8/50.1/56.8/89.7 ns on salmonella m17 canonical.
     import os
 
     try:
-        _div = max(1, int(os.environ.get("SSHASH_PAIR_DIV", "8")))
+        _div = max(1, int(os.environ.get("SSHASH_PAIR_DIV", "64")))
     except ValueError as e:
         raise ValueError(
             f"SSHASH_PAIR_DIV must be a positive integer, got "
@@ -1053,10 +1054,18 @@ class DeviceEngine:
         # host job; scripts/exp_scale_device.py)
         if host_arrs is None:
             host_arrs = _device_arrays(index)
-        elif "vstart32" not in host_arrs:
-            # cache written before the sequential iterator landed
-            host_arrs = dict(host_arrs)
-            host_arrs["vstart32"] = vstart32_from_index(index)
+        else:
+            want_w = 2 + 2 * (1 + self.cfg.vbits_words + self.cfg.win_words + 4)
+            if host_arrs["cw_row"].shape[1] != want_w:
+                raise ValueError(
+                    f"stale host_arrs cache: cw_row has "
+                    f"{host_arrs['cw_row'].shape[1]} columns, this engine "
+                    f"expects {want_w} (candidates 0-1 in-row). Recompute "
+                    f"with engine._device_arrays(index).")
+            if "vstart32" not in host_arrs:
+                # cache written before the sequential iterator landed
+                host_arrs = dict(host_arrs)
+                host_arrs["vstart32"] = vstart32_from_index(index)
         self.arrs = {k2: jax.device_put(v, device) for k2, v in host_arrs.items()}
         self._lookup_fn = make_lookup(self.cfg)
         self._lookup = jax.jit(self._lookup_fn)

@@ -805,7 +805,12 @@ class _DeviceStream:
         buf[1] = nreads
         buf[2:self._o1] = rnpos
         buf[self._o1:self._o2] = rfirst
-        return fn(self.engine.arrs, self._jnp.asarray(buf))
+        jbuf = self._jnp.asarray(buf)
+        if getattr(self, "_capture", None) is not None:
+            # profiling hook: record (compiled fn, device-resident buffer)
+            # so kernel-only cost can be re-timed without the upload
+            self._capture.append((fn, jbuf))
+        return fn(self.engine.arrs, jbuf)
 
     def _av_step(self):
         """Lazily compiled all-valid variant (second shape per (P, R); only
