@@ -1,0 +1,72 @@
+"""Stage breakdown of the streaming step on the AMPLIFIED LOW-HIT chunk
+(all-negative SRR reads, the workload where round-4 measured 2700 ns/pos
+kernel-only vs ~50 ns/pos on high-hit). Same debug_stage hook as
+profile_stream_stages.py but fed the fastq chunk."""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+INPUT = "/root/reference/data/unitigs_stitched/salmonella_enterica_k31_ust.fa.gz"
+AMP = "/tmp/srr_x10.fastq.gz"
+P_ = 1 << 22
+SHIFT = 4
+
+
+def timeit(fn, args, reps=3):
+    float(np.asarray(fn(*args)).ravel()[0])
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        float(np.asarray(out).ravel()[0])
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sshash_tpu import BuildConfig, Dictionary
+    from sshash_tpu.engine import make_lookup
+    from sshash_tpu.streaming import _DeviceStream, make_stream_step, parse_reads
+
+    d = Dictionary.build(INPUT, BuildConfig(k=31, m=17, verbose=False))
+    eng = d.to_device()
+    cfg = eng.cfg
+
+    ds = _DeviceStream(eng, 31, pmax=P_, rmax_shift=SHIFT)
+    ds._no_ladder = True
+    captured = []
+    real_step = ds._step
+    ds._step = lambda *a: captured.append(a) or real_step(*a)
+    for seq in parse_reads(AMP):
+        ds.add_read(seq)
+    ds.flush()
+    args = captured[0]
+    print(json.dumps({"chunks": len(captured), "count": int(args[5])}),
+          flush=True)
+    args = tuple(jnp.asarray(a) if isinstance(a, np.ndarray) else a
+                 for a in args)
+
+    stages = sys.argv[1:] or ["anchor", "chain", "dfl_lanes", "dfl_pos",
+                              "dfl_head", "dfl_seg", "dfl_win1", "dfl_win2",
+                              None]
+    for name in stages:
+        if name == "none":
+            name = None
+        fn = jax.jit(make_stream_step(cfg, make_lookup(cfg), ds.P, ds.R,
+                                      debug_stage=name))
+        t = timeit(fn, args)
+        print(json.dumps({"stage": name or "full_step",
+                          "ms": round(t * 1e3, 1),
+                          "ns_per_pos": round(t / P_ * 1e9, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -156,11 +156,55 @@ def revcomp_mmer64(val, m):
     return u.shr(u.u64(hi, lo), 64 - 2 * m)
 
 
+def _tree_min(items, wins):
+    """Tournament-tree reduction of per-window tuples. `wins(a, b)` returns
+    the lanes where b beats a; it MUST be a total order (explicit
+    lexicographic tie-break on position), so the winner is independent of
+    association order. A linear select chain here MISCOMPILED on the axon
+    TPU backend at k63 window counts (deterministic wrong minimizer
+    positions for 0.03% of kmers once fused into the full lookup kernel —
+    round-4 repro in scripts/exp_r4_k63_weight.py); the tree's explicit
+    order-free semantics dodge that, and its log-depth dependency chain
+    schedules better than the nw-deep chain regardless."""
+    while len(items) > 1:
+        nxt = []
+        for a in range(0, len(items) - 1, 2):
+            ia, ib = items[a], items[a + 1]
+            bwins = wins(ia, ib)
+            nxt.append(tuple(
+                u.select(bwins, eb, ea) if isinstance(ea, u.u64)
+                else jnp.where(bwins, eb, ea)
+                for ea, eb in zip(ia, ib)))
+        if len(items) % 2:
+            nxt.append(items[-1])
+        items = nxt
+    return items[0]
+
+
 def compute_minimizer(kmers32, k, m, magic):
     """Leftmost minimal mixer-hash m-mer per kmer (util.hpp:262-283).
-    magic: u64 scalar. Returns (val u64 (B,), pos int32 (B,))."""
+    magic: u64 scalar. Returns (val u64 (B,), pos int32 (B,)).
+
+    Short scans (nw <= 24: every k31-class config) use the linear select
+    chain — cheapest, and empirically sound on the TPU backend (bench
+    asserts all 8M random positives found). Wide scans switch to the
+    tournament tree (_tree_min): the chain MISCOMPILES on the axon TPU
+    backend at k63 window counts once fused into the full lookup kernel."""
     B = kmers32.shape[0]
     nw = k - m + 1
+    if nw > 24:
+        items = []
+        for j in range(nw):
+            v = extract_window(kmers32, 2 * j, 2 * m)
+            h = u.mixer64(v, magic)
+            items.append((h, v, jnp.full((B,), j, dtype=jnp.int32)))
+
+        def wins(a, b):
+            # lexicographic (hash, position): leftmost wins equal hashes
+            return u.less(b[0], a[0]) | (u.equal(b[0], a[0]) & (b[2] < a[2]))
+
+        _, v, p = _tree_min(items, wins)
+        return v, p
     best_h = None
     best_v = None
     best_p = jnp.zeros((B,), dtype=jnp.int32)
@@ -184,8 +228,11 @@ def compute_minimizer_both(kmers32, k, m, magic):
     per-window revcomp instead of a second full extraction pass).
     Tie rules: forward keeps the leftmost minimum (strict <); the RC scan
     must keep the LEFTMOST minimum in RC coordinates = rightmost j (<=).
-    Returns (mv_f, mp_f, mv_r, mp_r) matching two compute_minimizer calls
-    on (kmers, revcomp(kmers)) bit for bit."""
+    Only called for nw <= 24 (compute_minimizer_two_strand splits wider
+    scans into two compute_minimizer passes, which switch to the
+    miscompile-safe tournament tree). Returns (mv_f, mp_f, mv_r, mp_r)
+    matching two compute_minimizer calls on (kmers, revcomp(kmers)) bit
+    for bit."""
     B = kmers32.shape[0]
     nw = k - m + 1
     bf_h = bf_v = br_h = br_v = None

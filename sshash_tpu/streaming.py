@@ -427,11 +427,15 @@ def make_stream_step(cfg, lookup, P_, R_, swin=None, debug_stage=None,
             s = (matched.sum() + akid.sum()).astype(U32j)
             return jnp.full((3, 4), s, dtype=U32j)
         miss = vg & ~matched
-        # fallback window width: small enough that high-hit chunks (few
-        # misses) do one cheap masked lookup, big enough that low-hit
-        # chunks don't loop excessively (while_loop iterations are
-        # dispatch-free on device)
-        Wp = max(4096, P_ // 64)
+        # fallback window width (ONLY derive_full — the low-hit branch —
+        # uses run_windows; high-hit chunks take derive_corr). Each
+        # fallback lane pays a full lookup, so window PADDING waste matters
+        # as much as per-window fixed passes: P/8 windows measured WORSE
+        # than P/64 (last window ~97% padding on a ~13%-heads chunk).
+        import os
+
+        _wdiv = max(1, int(os.environ.get("SSHASH_STREAM_WDIV", "64")))
+        Wp = max(4096, P_ // _wdiv)
 
         def derive_fast(_):
             """No fallback needed (every valid position chained): all
@@ -525,14 +529,17 @@ def make_stream_step(cfg, lookup, P_, R_, swin=None, debug_stage=None,
                 return dbg(seg, nheads.astype(U32j))
 
             def run_windows(sel, nsel, carry, record_mf):
-                """Compacted full lookups over `sel` lanes."""
-                found_l, sid_l, kid_l, ori_l, head_mf = carry
+                """Compacted full lookups over `sel` lanes. The per-lane
+                result carries are PACKED — [kid+1 | backward-bit] + sid —
+                so each window iteration pays 2-3 P-wide scatter passes,
+                not 5 (they were the dominant low-hit cost)."""
+                pk_l, sid_l, head_mf = carry
                 rank = Pk.prefix_sum_ex(sel.astype(I32))
                 lids = jnp.zeros((P_,), dtype=I32).at[
                     jnp.where(sel, rank, P_)].set(lane, mode="drop")
 
                 def wbody(w, carry):
-                    found_l, sid_l, kid_l, ori_l, head_mf = carry
+                    pk_l, sid_l, head_mf = carry
                     slot = w * Wp + jnp.arange(Wp, dtype=I32)
                     lid = jnp.take(lids, jnp.clip(slot, 0, P_ - 1), mode="clip")
                     ok = slot < nsel
@@ -541,16 +548,16 @@ def make_stream_step(cfg, lookup, P_, R_, swin=None, debug_stage=None,
                     r2 = lookup(arrs, km)
                     f2 = r2["found"] & ok
                     tgt = jnp.where(f2, lid, P_)
-                    found_l = found_l.at[tgt].set(True, mode="drop")
+                    pk2 = (((r2["kmer_id"] + U32j(1)) << 1)
+                           | (r2["kmer_orientation"] < 0).astype(U32j))
+                    pk_l = pk_l.at[tgt].set(pk2, mode="drop")
                     sid_l = sid_l.at[tgt].set(r2["string_id"], mode="drop")
-                    kid_l = kid_l.at[tgt].set(r2["kmer_id"], mode="drop")
-                    ori_l = ori_l.at[tgt].set(r2["kmer_orientation"], mode="drop")
                     if record_mf:
                         # store minimizer_found per head RANK
                         hrank = jnp.take(seg, jnp.clip(lid, 0, P_ - 1), mode="clip")
                         head_mf = head_mf.at[jnp.where(ok, hrank, P_)].set(
                             r2["minimizer_found"] | f2, mode="drop")
-                    return found_l, sid_l, kid_l, ori_l, head_mf
+                    return pk_l, sid_l, head_mf
 
                 nw = (nsel + Wp - 1) // Wp
                 _, out = jax.lax.while_loop(
@@ -559,11 +566,14 @@ def make_stream_step(cfg, lookup, P_, R_, swin=None, debug_stage=None,
                     (jnp.int32(0), carry))
                 return out
 
-            carry5 = (found_l, sid_l, kid_l, ori_l, head_mf)
-            carry5 = run_windows(head, nheads, carry5, record_mf=True)
-            found_l, sid_l, kid_l, ori_l, head_mf = carry5
+            pk_l = jnp.where(found_l,
+                             ((kid_l + U32j(1)) << 1)
+                             | (ori_l < 0).astype(U32j), U32j(0))
+            carry3 = (pk_l, sid_l, head_mf)
+            carry3 = run_windows(head, nheads, carry3, record_mf=True)
+            pk_l, sid_l, head_mf = carry3
             if debug_stage == "dfl_win1":
-                return dbg(found_l, sid_l, kid_l, ori_l, head_mf)
+                return dbg(pk_l, sid_l, head_mf)
 
             # skip non-head run members whose head proved the minimizer
             # pair absent; the rest (head found or minimizer present)
@@ -571,8 +581,12 @@ def make_stream_step(cfg, lookup, P_, R_, swin=None, debug_stage=None,
             my_mf = jnp.take(head_mf, jnp.clip(seg, 0, P_ - 1), mode="clip")
             round2 = need & ~head & my_mf
             n2 = round2.sum()
-            carry5 = run_windows(round2, n2, carry5, record_mf=False)
-            found_l, sid_l, kid_l, ori_l, _ = carry5
+            carry3 = run_windows(round2, n2, carry3, record_mf=False)
+            pk_l, sid_l, _ = carry3
+            found_l = pk_l > 0
+            kid_l = jnp.where(found_l, (pk_l >> 1) - U32j(1), kid_l)
+            ori_l = jnp.where(found_l, I32(1) - I32(2) * (pk_l & 1).astype(I32),
+                              ori_l)
             if debug_stage == "dfl_win2":
                 return dbg(found_l, sid_l, kid_l, ori_l)
 
