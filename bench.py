@@ -62,6 +62,7 @@ def main():
     # round-4 kernel (48.5 vs 50.1 ns, scripts/exp_r4_lookup.py)
     B = 1 << 23
     rates = {}
+    neg_rates = {}
     engines = {}
     # m=17 over m=15: +0.4 ref-format bits/kmer buys ~17% fewer candidate
     # probes (more singleton buckets) — the speed-optimal sweep point on
@@ -82,19 +83,25 @@ def main():
         assert n_found == B, f"{mode}: expected all positive, found {n_found}/{B}"
         rates[mode] = _bench_lookup(eng, kmers32, B)
 
+        # negative lookup (perf.hpp:60-76): random kmers through the same
+        # compiled kernel, in BOTH modes — canonical is a SINGLE probe (no
+        # RC fallback pass), the same shape as the reference's faster
+        # canonical-negative row (420 vs 791 ns, BASELINE.md). Secondary
+        # axes must not lose the lookup headline: degrade to null.
+        try:
+            neg64 = rng.integers(0, 1 << 62, (B, index.kmer_words64),
+                                 dtype=np.uint64)
+            neg64 &= np.uint64((1 << min(2 * index.k, 63)) - 1)
+            neg32 = jax.device_put(jnp.asarray(K.kmers_to_u32(neg64, index.k)))
+            neg_rates[mode] = _bench_lookup(eng, neg32, B)
+            del neg32
+        except Exception as e:  # noqa: BLE001 — report partial results
+            print(f"negative bench ({mode}) failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
         if mode == "regular":
-            # secondary perf axes must not lose the lookup headline: each
-            # degrades to null on failure
-            negative_rate = access_rate = iterator_rate = None
+            access_rate = iterator_rate = None
             try:
-                # negative lookup (perf.hpp:60-76): random kmers, same
-                # compiled kernel (the mostly-miss branch), fresh timing
-                neg64 = rng.integers(0, 1 << 62, (B, index.kmer_words64),
-                                     dtype=np.uint64)
-                neg64 &= np.uint64((1 << min(2 * index.k, 63)) - 1)
-                neg32 = jax.device_put(jnp.asarray(K.kmers_to_u32(neg64, index.k)))
-                negative_rate = _bench_lookup(eng, neg32, B)
-                del neg32
                 # access (perf.hpp:78-96): random ids -> packed kmers
                 ids32 = jax.device_put(jnp.asarray(
                     rng.integers(0, index.num_kmers, B).astype(np.uint32)))
@@ -159,7 +166,10 @@ def main():
         "mode": best_mode,
         "regular_lookups_per_s": round(rates["regular"]),
         "canonical_lookups_per_s": round(rates["canonical"]),
-        "negative_lookups_per_s": round(negative_rate) if negative_rate else None,
+        "negative_lookups_per_s": round(max(neg_rates.values())) if neg_rates else None,
+        "negative_mode": max(neg_rates, key=neg_rates.get) if neg_rates else None,
+        "negative_regular_per_s": round(neg_rates["regular"]) if "regular" in neg_rates else None,
+        "negative_canonical_per_s": round(neg_rates["canonical"]) if "canonical" in neg_rates else None,
         "access_per_s": round(access_rate) if access_rate else None,
         "iterator_kmers_per_s": round(iterator_rate) if iterator_rate else None,
         "streaming_kmers_per_s": round(stream_rate) if stream_rate else None,

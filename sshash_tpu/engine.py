@@ -69,14 +69,42 @@ def _expand_to_slots(arr, mphf):
     return out
 
 
+def _access_C(index):
+    """True max string crossings per 32-KMER-ID block (for make_access).
+    Unlike char-offset space (where strings >= k chars bound crossings by
+    32//k+1), a string can contribute a single kmer, so up to 32 strings
+    can start inside one 32-id block — compute the real bound."""
+    ep = index.string_endpoints.astype(np.int64)
+    kmer_cum = ep - np.arange(len(ep)) * (index.k - 1)
+    nk = int(index.num_kmers)
+    if nk == 0:
+        return 1
+    blk = np.arange((nk + 31) // 32, dtype=np.int64) * 32
+    lo = np.searchsorted(kmer_cum, blk, side="right")
+    hi = np.searchsorted(kmer_cum, np.minimum(blk + 31, nk - 1), side="right")
+    return max(1, int((hi - lo).max()))
+
+
+def _acc_rows(sidk32, kmer_cum, C):
+    """Fused per-32-id-block access rows [sid hint, kmer_cum[hint+1..hint+C]]
+    — access(id) resolves its string in ONE row gather instead of a hint
+    gather followed by a dependent kmer_cum window gather (the clip
+    semantics match jnp.take(..., mode="clip") of the unfused path)."""
+    hint = sidk32.astype(np.int64)
+    kidx = np.clip(hint[:, None] + np.arange(1, C + 1, dtype=np.int64)[None, :],
+                   0, len(kmer_cum) - 1)
+    return np.concatenate(
+        [sidk32[:, None], kmer_cum[kidx].astype(np.uint32)], axis=1)
+
+
 def _device_arrays(index):
     """Host Index -> device pytree (all uint32)."""
     # device offsets/ids are uint32 (no int64 on the VPU path); past this a
     # build needs per-shard offset rebasing — fail loudly, never wrap
     if index.num_chars >= 1 << 32 or index.num_kmers >= 1 << 31:
         raise ValueError(
-            f"device engines address chars as uint32 and pack kmer ids into "
-            f"31 bits (the ids-mode pair scatter); this index has "
+            f"device engines address chars as uint32 (< 2^32) and pack kmer "
+            f"ids into 31 bits (the ids-mode pair scatter); this index has "
             f"{index.num_chars} chars / {index.num_kmers} kmers. "
             f"Split the input or use multiple indexes until per-shard "
             f"offset rebasing lands.")
@@ -184,14 +212,16 @@ def _device_arrays(index):
     heavy_arr = np.asarray(index.heavy_load_buckets).astype(np.uint32)
     heavy_rows = fused_rows(heavy_arr) \
         if len(heavy_arr) else np.zeros((1, 1 + Wv + Ww + 4), np.uint32)
+    kmer_cum32 = (
+        index.string_endpoints.astype(np.int64)
+        - np.arange(len(index.string_endpoints)) * (index.k - 1)
+    ).astype(np.uint32)
     arrs = {
         "strings32": s32,
         "vstart32": vstart32,
         "sidk32": sidk32,
-        "kmer_cum": (
-            index.string_endpoints.astype(np.int64)
-            - np.arange(len(index.string_endpoints)) * (index.k - 1)
-        ).astype(np.uint32),
+        "kmer_cum": kmer_cum32,
+        "acc_rows": _acc_rows(sidk32, kmer_cum32, _access_C(index)),
         "cw_row": cw_row,
         "mid_rows": mid_rows,
         "heavy_rows": heavy_rows,
@@ -428,21 +458,7 @@ class StaticCfg:
                                          if p.mphf.n > 0))
         # set by ShardedEngine when the skew rows shard over a mesh axis
         self.bucket_axis = None
-        # true max string crossings per 32-KMER-ID block (for make_access).
-        # Unlike char-offset space (where strings >= k chars bound crossings
-        # by 32//k+1), a string can contribute a single kmer, so up to 32
-        # strings can start inside one 32-id block — compute the real bound.
-        ep = index.string_endpoints.astype(np.int64)
-        kmer_cum = ep - np.arange(len(ep)) * (index.k - 1)
-        nk = int(index.num_kmers)
-        if nk > 0:
-            blk = np.arange((nk + 31) // 32, dtype=np.int64) * 32
-            lo = np.searchsorted(kmer_cum, blk, side="right")
-            hi = np.searchsorted(kmer_cum, np.minimum(blk + 31, nk - 1),
-                                 side="right")
-            self.access_C = max(1, int((hi - lo).max()))
-        else:
-            self.access_C = 1
+        self.access_C = _access_C(index)
 
 
 def mphf_eval_minimizer(cfg, arrs, minval):
@@ -877,7 +893,15 @@ def make_lookup(cfg, fields="full"):
             # misses and processed in B/4-wide windows: free when everything
             # hits forward, ~half cost when ~50% of queries are RC'd.
             miss = ~res["found"]
-            Wf = max(128, B // 4)
+            import os
+
+            try:
+                _fdiv = max(1, int(os.environ.get("SSHASH_FB_DIV", "4")))
+            except ValueError as e:
+                raise ValueError(
+                    f"SSHASH_FB_DIV must be a positive integer, got "
+                    f"{os.environ['SSHASH_FB_DIV']!r}") from e
+            Wf = max(128, B // _fdiv)
             lane = jnp.arange(B, dtype=I32)
             n_miss = miss.sum()
 
@@ -963,22 +987,23 @@ def _merge(res_a, res_b, use_b, use_b_flags):
 
 
 def make_access(cfg):
-    """ids -> packed kmers; string resolution via the kmer-id block-hint
-    table (2 gathers) instead of a searchsorted (offsets.hpp:41-65).
-    The crossing bound C is the build-time measured max number of string
-    starts inside any 32-id block (cfg.access_C) — NOT 32//k+1, which only
-    bounds char-offset space."""
+    """ids -> packed kmers in TWO dependent gather rounds: the fused
+    per-block access row [sid hint, kmer_cum[hint+1..hint+C]] resolves the
+    string in ONE row gather (was: hint gather -> dependent kmer_cum window
+    gather -> chars = 3 rounds; reference rank/select locate,
+    offsets.hpp:41-65). The crossing bound C is the build-time measured max
+    number of string starts inside any 32-id block (cfg.access_C) — NOT
+    32//k+1, which only bounds char-offset space."""
     k = cfg.k
     C = cfg.access_C
 
     def fn(arrs, ids):
-        hint = _take(arrs["sidk32"], ids >> U32(5)).astype(I32)
-        kc = jnp.take(arrs["kmer_cum"],
-                      hint[:, None] + jnp.arange(1, C + 1, dtype=I32)[None, :],
-                      mode="clip")
+        row = jnp.take(arrs["acc_rows"], (ids >> U32(5)).astype(I32),
+                       axis=0, mode="clip")
+        hint = row[:, 0].astype(I32)
         cross = jnp.zeros_like(hint)
         for c in range(C):
-            cross = cross + (ids >= kc[:, c]).astype(I32)
+            cross = cross + (ids >= row[:, 1 + c]).astype(I32)
         sid = hint + cross
         off = ids + sid.astype(U32) * U32(k - 1)
         return P.read_kmers_at(arrs["strings32"], off, k)
@@ -1066,6 +1091,13 @@ class DeviceEngine:
                 # cache written before the sequential iterator landed
                 host_arrs = dict(host_arrs)
                 host_arrs["vstart32"] = vstart32_from_index(index)
+            if "acc_rows" not in host_arrs:
+                # cache written before the fused access row landed:
+                # synthesize it from the cached sidk32/kmer_cum (cheap)
+                host_arrs = dict(host_arrs)
+                host_arrs["acc_rows"] = _acc_rows(
+                    host_arrs["sidk32"], host_arrs["kmer_cum"],
+                    self.cfg.access_C)
         self.arrs = {k2: jax.device_put(v, device) for k2, v in host_arrs.items()}
         self._lookup_fn = make_lookup(self.cfg)
         self._lookup = jax.jit(self._lookup_fn)

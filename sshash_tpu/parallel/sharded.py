@@ -222,11 +222,12 @@ def make_sharded_lookup(cfg, per_shard, data_axis="data", bucket_axis="bucket",
     return body
 
 
-def make_sharded_access(cfg, per_blk, per_sw, kc_len, data_axis="data",
+def make_sharded_access(cfg, per_blk, per_sw, data_axis="data",
                         bucket_axis="bucket"):
     """Sharded access(id) -> packed kmer: the id-block owner resolves the
-    char offset from its sidk32/kmer_cum range, broadcasts it (pmin), and
-    the char-range owner reads the kmer from its strings slice (haloed) —
+    char offset from its fused acc_rows range (ONE local row gather: [sid
+    hint, kmer_cum window] per 32-id block), broadcasts it (pmin), and the
+    char-range owner reads the kmer from its strings slice (haloed) —
     2 combines, everything else local (reference access,
     spectrum_preserving_string_set.hpp:114-118)."""
     C = cfg.access_C
@@ -237,16 +238,12 @@ def make_sharded_access(cfg, per_blk, per_sw, kc_len, data_axis="data",
         blk = (ids >> U32(5)).astype(I32)
         blo = j * I32(per_blk)
         own_id = (blk >= blo) & (blk < blo + I32(per_blk))
-        hint = jnp.take(arrs["sidk32"],
-                        jnp.where(own_id, blk - blo, 0), mode="clip").astype(I32)
-        kc_base = arrs["acc_kc_base"][0].astype(I32)
-        lidx = jnp.clip(hint - kc_base, 0, I32(kc_len - 1))
-        kc = jnp.take(arrs["kmer_cum"],
-                      lidx[:, None] + jnp.arange(1, C + 1, dtype=I32)[None, :],
-                      mode="clip")
+        row = jnp.take(arrs["acc_rows"], jnp.where(own_id, blk - blo, 0),
+                       axis=0, mode="clip")
+        hint = row[:, 0].astype(I32)
         cross = jnp.zeros_like(hint)
         for c in range(C):
-            cross = cross + (ids >= kc[:, c]).astype(I32)
+            cross = cross + (ids >= row[:, 1 + c]).astype(I32)
         sid = hint + cross
         off = ids + sid.astype(U32) * U32(k - 1)
         off = jnp.where(own_id, off, U32(0xFFFFFFFF))
@@ -619,25 +616,15 @@ class ShardedEngine:
         host["strings32"] = sw.reshape(-1)
         self.per_shard_swords = per_sw
 
-        sidk = host["sidk32"]
-        per_blk = max(1, -(-len(sidk) // nb))
-        host["sidk32"] = np.pad(sidk, (0, per_blk * nb - len(sidk)))
-        kc = host["kmer_cum"]
-        C = self.cfg.access_C
-        kc_lo = np.zeros(nb, dtype=np.int64)
-        kc_sl = []
-        for j in range(nb):
-            blk = sidk[j * per_blk : (j + 1) * per_blk]
-            lo = int(blk[0]) if len(blk) else 0
-            hi = min(len(kc), (int(blk[-1]) if len(blk) else 0) + C + 2)
-            kc_lo[j] = lo
-            kc_sl.append(kc[lo:hi])
-        kc_len = max(1, max(len(s) for s in kc_sl))
-        host["kmer_cum"] = np.concatenate(
-            [np.pad(s, (0, kc_len - len(s))) for s in kc_sl])
-        host["acc_kc_base"] = kc_lo.astype(np.uint32)
+        acc = host["acc_rows"]
+        per_blk = max(1, -(-len(acc) // nb))
+        acc_pad = np.zeros((per_blk * nb, acc.shape[1]), acc.dtype)
+        acc_pad[: len(acc)] = acc
+        host["acc_rows"] = acc_pad
         self.per_shard_blocks = per_blk
-        self.kc_len = kc_len
+        # the unfused id-resolve tables only served access — dead on the mesh
+        for dead in ("sidk32", "kmer_cum"):
+            host.pop(dead, None)
 
         self.weighted = "w_endpoints" in host
         if self.weighted:
@@ -658,8 +645,7 @@ class ShardedEngine:
         in_specs = {}
         self.arrs = {}
         sharded_keys = _CW_KEYS + ("mid_rows", "heavy_rows", "strings32",
-                                   "sidk32", "kmer_cum", "acc_kc_base",
-                                   "w_endpoints", "w_value_ids")
+                                   "acc_rows", "w_endpoints", "w_value_ids")
         if self.per_shard_hrows is not None:
             sharded_keys = sharded_keys + ("sk_hrows",)
         for key, arr in host.items():
@@ -697,7 +683,7 @@ class ShardedEngine:
                 check_vma=False,
             )
         )
-        acc_body = make_sharded_access(self.cfg, per_blk, per_sw, kc_len,
+        acc_body = make_sharded_access(self.cfg, per_blk, per_sw,
                                        data_axis, bucket_axis)
         self._access = jax.jit(shard_map(
             acc_body, mesh=self.mesh,

@@ -209,7 +209,7 @@ def _bench(args):
                 kid = r["kmer_id"]
                 ok = kid != np.uint64(0xFFFFFFFFFFFFFFFF)
                 w = np.zeros(len(kid), dtype=np.uint64)
-                w[ok] = index.weight(kid[ok])
+                w[ok] = index.weights.weight(kid[ok])
                 return w
         else:
             import jax
