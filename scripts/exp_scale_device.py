@@ -106,6 +106,47 @@ def main():
                       "device_bytes": dev_bytes}), flush=True)
     assert ok == B, f"id round-trip failed: {ok}/{B}"
 
+    # negative lookup at scale (random kmers, same compiled kernel)
+    try:
+        neg64 = rng.integers(0, 1 << 62, (B, idx.kmer_words64), dtype=np.uint64)
+        neg64 &= np.uint64((1 << min(2 * idx.k, 63)) - 1)
+        neg32 = jax.device_put(jnp.asarray(K.kmers_to_u32(neg64, idx.k)))
+        np.asarray(red(eng.arrs, neg32))
+        best_n = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(red(eng.arrs, neg32))
+            best_n = min(best_n, time.perf_counter() - t0)
+        print(json.dumps({"exp": "scale_negative_lookup",
+                          "ns_per_kmer": round(best_n / B * 1e9, 1),
+                          "lookups_per_s": round(B / best_n)}), flush=True)
+        del neg32
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"exp": "scale_negative_lookup", "error": repr(e)}),
+              flush=True)
+
+    # access at scale (the fused-row kernel; also exercises the acc_rows
+    # synthesis path for pre-acc_rows .arrs caches)
+    try:
+        ids_a = rng.integers(0, idx.num_kmers, B)
+        ids32 = jax.device_put(jnp.asarray(ids_a.astype(np.uint32)))
+        got = np.asarray(eng._access(eng.arrs, ids32[:4096]))
+        want = K.kmers_to_u32(oracle.access(idx, ids_a[:4096]), idx.k)
+        assert np.array_equal(got, want), "access mismatch vs oracle at scale"
+        acc = jax.jit(lambda a, i: eng._access(a, i)[:, 0].sum())
+        np.asarray(acc(eng.arrs, ids32))
+        best_a = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(acc(eng.arrs, ids32))
+            best_a = min(best_a, time.perf_counter() - t0)
+        print(json.dumps({"exp": "scale_access",
+                          "ns_per_kmer": round(best_a / B * 1e9, 1),
+                          "access_per_s": round(B / best_a)}), flush=True)
+        del ids32
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"exp": "scale_access", "error": repr(e)}), flush=True)
+
     # sequential-decode full iteration at scale: one linear pass over all
     # ~200M kmers per call — the per-call ~40ms dispatch is amortized here,
     # unlike the 4.8M-kmer salmonella bench (reference iterator axis:
@@ -172,6 +213,37 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"exp": "scale_streaming_high_hit", "error": repr(e)}),
               flush=True)
+
+    # kernel-only streaming: re-time the captured compiled steps on their
+    # device-resident buffers (no host parse, no upload) — the capability
+    # number once inputs are co-located (the ~28 MB/s tunnel upload is the
+    # end-to-end wall on this setup; real deployments feed from HBM/ICI)
+    try:
+        from sshash_tpu.streaming import _DeviceStream, parse_reads
+
+        ds = _DeviceStream(eng, idx.k, pmax=5 << 20, rmax_shift=12)
+        ds._capture = []
+        for seq in parse_reads(part, multiline=True):
+            ds.add_read(seq)
+        rep_k = ds.finalize()
+        total = 0.0
+        for fn, jbuf in ds._capture:
+            np.asarray(fn(eng.arrs, jbuf)[0])  # warm (already compiled)
+            best_s = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(fn(eng.arrs, jbuf)[0])
+                best_s = min(best_s, time.perf_counter() - t0)
+            total += best_s
+        nk = int(rep_k["num_kmers"])
+        print(json.dumps({"exp": "scale_streaming_kernel_only",
+                          "num_kmers": nk, "chunks": len(ds._capture),
+                          "sec": round(total, 3),
+                          "ns_per_kmer": round(total * 1e9 / nk, 2),
+                          "kmers_per_s": round(nk / total)}), flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"exp": "scale_streaming_kernel_only",
+                          "error": repr(e)}), flush=True)
 
 
 if __name__ == "__main__":

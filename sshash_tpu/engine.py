@@ -85,16 +85,43 @@ def _access_C(index):
     return max(1, int((hi - lo).max()))
 
 
-def _acc_rows(sidk32, kmer_cum, C):
+def _acc_win_words(k, C):
+    """Packed-string words covering every char a 32-id block's accesses can
+    touch: offsets span [o_min, o_min + 31 + C*(k-1)] and each read takes k
+    chars, from the word floor(o_min/16)."""
+    return (31 + C * (k - 1) + k - 1 + 15) // 16 + 1
+
+
+def _acc_windowed(k, C):
+    """Static gate: fuse the char window into the access row only while the
+    row stays within the cheap row-gather regime (w<=16 measured flat,
+    scripts/profile_lookup.py); wide-k / fragmented-string indexes fall
+    back to the 2-round row+chars path."""
+    return 1 + C + _acc_win_words(k, C) <= 16
+
+
+def _acc_rows(sidk32, kmer_cum, C, s32=None, k=None):
     """Fused per-32-id-block access rows [sid hint, kmer_cum[hint+1..hint+C]]
     — access(id) resolves its string in ONE row gather instead of a hint
     gather followed by a dependent kmer_cum window gather (the clip
-    semantics match jnp.take(..., mode="clip") of the unfused path)."""
+    semantics match jnp.take(..., mode="clip") of the unfused path).
+
+    When the geometry allows (_acc_windowed), the row ALSO carries the
+    packed-string window covering every char the block can touch, so the
+    whole access is ONE dependent gather round: row -> in-register word
+    select + funnel shift (no strings32 gather at all)."""
     hint = sidk32.astype(np.int64)
     kidx = np.clip(hint[:, None] + np.arange(1, C + 1, dtype=np.int64)[None, :],
                    0, len(kmer_cum) - 1)
-    return np.concatenate(
-        [sidk32[:, None], kmer_cum[kidx].astype(np.uint32)], axis=1)
+    cols = [sidk32[:, None], kmer_cum[kidx].astype(np.uint32)]
+    if s32 is not None and _acc_windowed(k, C):
+        Wa = _acc_win_words(k, C)
+        o_min = np.arange(len(sidk32), dtype=np.int64) * 32 + hint * (k - 1)
+        ws = o_min >> 4
+        widx = np.clip(ws[:, None] + np.arange(Wa, dtype=np.int64)[None, :],
+                       0, len(s32) - 1)
+        cols.append(s32[widx])
+    return np.concatenate(cols, axis=1)
 
 
 def _device_arrays(index):
@@ -221,7 +248,8 @@ def _device_arrays(index):
         "vstart32": vstart32,
         "sidk32": sidk32,
         "kmer_cum": kmer_cum32,
-        "acc_rows": _acc_rows(sidk32, kmer_cum32, _access_C(index)),
+        "acc_rows": _acc_rows(sidk32, kmer_cum32, _access_C(index),
+                              s32=s32, k=index.k),
         "cw_row": cw_row,
         "mid_rows": mid_rows,
         "heavy_rows": heavy_rows,
@@ -986,27 +1014,57 @@ def _merge(res_a, res_b, use_b, use_b_flags):
     return out
 
 
+def _acc_resolve(cfg, row, ids):
+    """Shared access-row decode: (sid, char offset) from a gathered row."""
+    hint = row[:, 0].astype(I32)
+    cross = jnp.zeros_like(hint)
+    for c in range(cfg.access_C):
+        cross = cross + (ids >= row[:, 1 + c]).astype(I32)
+    sid = hint + cross
+    off = ids + sid.astype(U32) * U32(cfg.k - 1)
+    return sid, off
+
+
+def _acc_read_window(cfg, row, ids, off):
+    """Windowed access rows: decode the kmer from the row's own packed-char
+    words — in-register word select + funnel shift, NO strings32 gather."""
+    k, C = cfg.k, cfg.access_C
+    W = P.num_words32(k)
+    Wa = _acc_win_words(k, C)
+    # the window starts at word floor(o_min/16), o_min = 32*blk + hint*(k-1)
+    o_min = (ids & ~U32(31)) + row[:, 0] * U32(k - 1)
+    local = off - (o_min & ~U32(15))
+    w = (local >> U32(4)).astype(I32)
+    sh = (U32(2) * (local & U32(15)))[:, None]
+    winp = jnp.concatenate(
+        [row[:, 1 + C:], jnp.zeros((row.shape[0], W), dtype=U32)], axis=1)
+    g = winp[:, 0 : W + 1]
+    for j in range(1, Wa):
+        g = jnp.where((w == I32(j))[:, None], winp[:, j : j + W + 1], g)
+    lo = g[:, :W] >> sh
+    hi = jnp.where(sh == 0, U32(0), g[:, 1:] << ((U32(32) - sh) & U32(31)))
+    return P.mask_last_word(lo | hi, k)
+
+
 def make_access(cfg):
-    """ids -> packed kmers in TWO dependent gather rounds: the fused
-    per-block access row [sid hint, kmer_cum[hint+1..hint+C]] resolves the
-    string in ONE row gather (was: hint gather -> dependent kmer_cum window
-    gather -> chars = 3 rounds; reference rank/select locate,
-    offsets.hpp:41-65). The crossing bound C is the build-time measured max
-    number of string starts inside any 32-id block (cfg.access_C) — NOT
-    32//k+1, which only bounds char-offset space."""
-    k = cfg.k
-    C = cfg.access_C
+    """ids -> packed kmers in ONE dependent gather round when the geometry
+    allows: the fused per-block access row [sid hint, kmer_cum window,
+    packed-char window] resolves the string AND carries every char the
+    block can touch, so the kmer decodes in-register (word select + funnel
+    shift). Wide-k / fragmented indexes fall back to a 2-round shape (row
+    gather -> strings32 gather). Reference: 3-gather-round equivalent via
+    rank/select locate, offsets.hpp:41-65. The crossing bound C is the
+    build-time measured max number of string starts inside any 32-id block
+    (cfg.access_C) — NOT 32//k+1, which only bounds char-offset space."""
+    windowed = _acc_windowed(cfg.k, cfg.access_C)
 
     def fn(arrs, ids):
         row = jnp.take(arrs["acc_rows"], (ids >> U32(5)).astype(I32),
                        axis=0, mode="clip")
-        hint = row[:, 0].astype(I32)
-        cross = jnp.zeros_like(hint)
-        for c in range(C):
-            cross = cross + (ids >= row[:, 1 + c]).astype(I32)
-        sid = hint + cross
-        off = ids + sid.astype(U32) * U32(k - 1)
-        return P.read_kmers_at(arrs["strings32"], off, k)
+        sid, off = _acc_resolve(cfg, row, ids)
+        if windowed:
+            return _acc_read_window(cfg, row, ids, off)
+        return P.read_kmers_at(arrs["strings32"], off, cfg.k)
 
     return fn
 
@@ -1091,13 +1149,18 @@ class DeviceEngine:
                 # cache written before the sequential iterator landed
                 host_arrs = dict(host_arrs)
                 host_arrs["vstart32"] = vstart32_from_index(index)
-            if "acc_rows" not in host_arrs:
-                # cache written before the fused access row landed:
-                # synthesize it from the cached sidk32/kmer_cum (cheap)
+            C = self.cfg.access_C
+            want_acc = 1 + C + (_acc_win_words(self.cfg.k, C)
+                                if _acc_windowed(self.cfg.k, C) else 0)
+            if ("acc_rows" not in host_arrs
+                    or host_arrs["acc_rows"].shape[1] != want_acc):
+                # cache written before the fused access row landed (or with
+                # an older row layout): synthesize from the cached
+                # sidk32/kmer_cum/strings32 (cheap single-pass takes)
                 host_arrs = dict(host_arrs)
                 host_arrs["acc_rows"] = _acc_rows(
-                    host_arrs["sidk32"], host_arrs["kmer_cum"],
-                    self.cfg.access_C)
+                    host_arrs["sidk32"], host_arrs["kmer_cum"], C,
+                    s32=host_arrs["strings32"], k=self.cfg.k)
         self.arrs = {k2: jax.device_put(v, device) for k2, v in host_arrs.items()}
         self._lookup_fn = make_lookup(self.cfg)
         self._lookup = jax.jit(self._lookup_fn)

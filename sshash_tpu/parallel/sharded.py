@@ -225,13 +225,17 @@ def make_sharded_lookup(cfg, per_shard, data_axis="data", bucket_axis="bucket",
 def make_sharded_access(cfg, per_blk, per_sw, data_axis="data",
                         bucket_axis="bucket"):
     """Sharded access(id) -> packed kmer: the id-block owner resolves the
-    char offset from its fused acc_rows range (ONE local row gather: [sid
-    hint, kmer_cum window] per 32-id block), broadcasts it (pmin), and the
-    char-range owner reads the kmer from its strings slice (haloed) —
-    2 combines, everything else local (reference access,
-    spectrum_preserving_string_set.hpp:114-118)."""
-    C = cfg.access_C
+    char offset from its fused acc_rows range (ONE local row gather per
+    32-id block). With windowed rows (the common geometry) the owner
+    decodes the whole kmer from row-resident chars and a single pmax
+    combines — no strings stage at all. Otherwise the offset broadcasts
+    (pmin) and the char-range owner reads from its haloed strings slice —
+    2 combines (reference access, spectrum_preserving_string_set.hpp:
+    114-118)."""
+    from ..engine import _acc_read_window, _acc_resolve, _acc_windowed
+
     k = cfg.k
+    windowed = _acc_windowed(k, cfg.access_C)
 
     def body(arrs, ids):
         j = jax.lax.axis_index(bucket_axis).astype(I32)
@@ -240,13 +244,12 @@ def make_sharded_access(cfg, per_blk, per_sw, data_axis="data",
         own_id = (blk >= blo) & (blk < blo + I32(per_blk))
         row = jnp.take(arrs["acc_rows"], jnp.where(own_id, blk - blo, 0),
                        axis=0, mode="clip")
-        hint = row[:, 0].astype(I32)
-        cross = jnp.zeros_like(hint)
-        for c in range(C):
-            cross = cross + (ids >= row[:, 1 + c]).astype(I32)
-        sid = hint + cross
-        off = ids + sid.astype(U32) * U32(k - 1)
-        off = jnp.where(own_id, off, U32(0xFFFFFFFF))
+        sid, off_w = _acc_resolve(cfg, row, ids)
+        if windowed:
+            km = _acc_read_window(cfg, row, ids, off_w)
+            km = jnp.where(own_id[:, None], km, U32(0))
+            return jax.lax.pmax(km, bucket_axis)
+        off = jnp.where(own_id, off_w, U32(0xFFFFFFFF))
         off = jax.lax.pmin(off, bucket_axis)
         # char-range owner reads
         widx = (off >> U32(4)).astype(I32)
