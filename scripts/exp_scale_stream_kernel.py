@@ -1,0 +1,60 @@
+"""Kernel-only streaming at the 200M-kmer scale point: re-time the
+compiled stream steps on device-resident buffers (no host parse, no
+upload) — the capability number once inputs are co-located with the chip
+(the ~28 MB/s tunnel upload is the end-to-end wall on this dev setup).
+
+Usage: python scripts/exp_scale_stream_kernel.py [index_dir]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = __file__.rsplit("/", 2)[0]
+sys.path.insert(0, REPO)
+
+
+def main():
+    path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale/idx200m"
+    import jax  # noqa: F401
+
+    from sshash_tpu.engine import DeviceEngine
+    from sshash_tpu.index import Index
+    from sshash_tpu.streaming import _DeviceStream, parse_reads
+
+    idx = Index.load(path)
+    cache = path.rstrip("/") + ".arrs"
+    host_arrs = {f[:-4]: np.load(os.path.join(cache, f), mmap_mode="r")
+                 for f in sorted(os.listdir(cache)) if f.endswith(".npy")}
+    eng = DeviceEngine(idx, host_arrs=host_arrs)
+
+    base = os.path.dirname(path) or "."
+    part = os.path.join(base, "stream_part.fa")
+    ds = _DeviceStream(eng, idx.k, pmax=5 << 20, rmax_shift=12)
+    ds._capture = []
+    for seq in parse_reads(part, multiline=True):
+        ds.add_read(seq)
+    rep_k = ds.finalize()
+    total = 0.0
+    for fn, jbuf in ds._capture:
+        np.asarray(fn(eng.arrs, jbuf)[0])  # warm (already compiled)
+        best_s = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(fn(eng.arrs, jbuf)[0])
+            best_s = min(best_s, time.perf_counter() - t0)
+        total += best_s
+    nk = int(rep_k["num_kmers"])
+    print(json.dumps({"exp": "scale_streaming_kernel_only",
+                      "num_kmers": nk, "chunks": len(ds._capture),
+                      "positive": int(rep_k["num_positive_kmers"]),
+                      "sec": round(total, 3),
+                      "ns_per_kmer": round(total * 1e9 / nk, 2),
+                      "kmers_per_s": round(nk / total)}), flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -955,6 +955,8 @@ class _DeviceStream:
             sh += 2
         if P_eff != self.P or sh != self.rmax_shift:
             sub = _DeviceStream(self.engine, k, pmax=P_eff, rmax_shift=sh)
+            if getattr(self, "_capture", None) is not None:
+                sub._capture = self._capture  # keep the profiling hook live
             sub._seqs = [(s, f) for (s, f) in zip(seqs, starts_flag)]
             sub._pending = count
             sub._chars = sum(len(s) for s in seqs)
