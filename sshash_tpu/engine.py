@@ -924,7 +924,10 @@ def make_lookup(cfg, fields="full"):
             import os
 
             try:
-                _fdiv = max(1, int(os.environ.get("SSHASH_FB_DIV", "4")))
+                # width B/2: ONE window covers any <=50%-RC workload; div
+                # 1/2/4/8 measured 113.6/85.1/94.4/86.4 ns on the 50% RC
+                # regular batch (scripts/exp_r4_fbdiv.py)
+                _fdiv = max(1, int(os.environ.get("SSHASH_FB_DIV", "2")))
             except ValueError as e:
                 raise ValueError(
                     f"SSHASH_FB_DIV must be a positive integer, got "

@@ -65,6 +65,22 @@ def test_pair_window_divisor_bit_exact(dict_k31, eng_k31, monkeypatch, rng):
         assert np.array_equal(np.asarray(a[key]), np.asarray(b[key])), key
 
 
+def test_fb_window_divisor_bit_exact(dict_k31, eng_k31, monkeypatch, rng):
+    """SSHASH_FB_DIV changes only the regular-mode RC-fallback window
+    width (cost shape), never results — a narrow window forces multiple
+    while_loop iterations over the compacted misses."""
+    monkeypatch.setenv("SSHASH_FB_DIV", "4096")  # Wf floors at 128
+    eng_narrow = DeviceEngine(dict_k31.index)
+    ids = rng.integers(0, dict_k31.num_kmers(), size=4096)
+    kms = dict_k31.access(ids)
+    kms[::2] = K.revcomp_kmers(kms[::2], 31)  # 50% RC: fallback-heavy
+    kms[-512:] = rng.integers(0, 1 << 62, size=512, dtype=np.uint64).reshape(-1, 1)
+    a = eng_k31.lookup(kms)
+    b = eng_narrow.lookup(kms)
+    for key in a:
+        assert np.array_equal(np.asarray(a[key]), np.asarray(b[key])), key
+
+
 def test_ids_mode_matches_full(dict_k31, eng_k31, dict_k31_canonical, rng):
     """fields="ids" (the bench kernel) must agree with the full kernel on
     kmer_id/orientation/found — including pair-sweep hits, where ids mode
