@@ -27,25 +27,23 @@ def main():
 
     from sshash_tpu import BuildConfig, Dictionary
     from sshash_tpu.engine import U32, make_iterator
-    from sshash_tpu.ops import packed as P
 
     R = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     d = Dictionary.build(INPUT, BuildConfig(k=31, m=17, verbose=False))
     eng = d.to_device()
     n = d.num_kmers()
-    k = d.index.k
 
-    one = jax.jit(make_iterator(eng.cfg))
+    it_raw = make_iterator(eng.cfg)
+    one = jax.jit(it_raw)
 
     def reps(arrs):
         s0 = arrs["strings32"]
         v32 = arrs["vstart32"]
-        bits = (v32[:, None] >> jnp.arange(32, dtype=U32)[None, :]) & U32(1)
 
         def body(c, _):
-            kmers = P.iterate_kmers(s0 ^ c, k)
-            valid = bits.reshape(-1)[: kmers.shape[0]] != 0
-            chk = jnp.sum(jnp.where(valid, kmers[:, 0], U32(0)), dtype=U32)
+            # the CURRENT reduce kernel on carry-XOR'd words (funnel shifts
+            # are XOR-linear: identical cost per rep, different data)
+            _, chk = it_raw({"strings32": s0 ^ c, "vstart32": v32})
             return chk, None
 
         chk, _ = lax.scan(body, U32(1), None, length=R)

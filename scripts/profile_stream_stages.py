@@ -40,6 +40,7 @@ def main():
     cfg = eng.cfg
 
     ds = _DeviceStream(eng, 31, pmax=P_, rmax_shift=SHIFT)
+    ds._no_ladder = True  # keep every chunk on the full-P step (capturable)
     captured = []
     real_step = ds._step
     ds._step = lambda *a: captured.append(a) or real_step(*a)

@@ -1082,21 +1082,56 @@ def make_iterator(cfg, materialize=False):
     sequential id order (ids never materialize — rank == id).
 
     materialize=True returns (valid (C,), kmers (C, W)) for tests;
-    default returns (count, checksum-of-word0) scalars — the perf-harness
-    shape (the reference reads kmer.at(0) per step and discards)."""
+    default returns (count, checksum) scalars — the perf-harness shape
+    (the reference materializes each kmer and reads kmer.at(0),
+    perf.hpp:10-24; the checksum here XOR-folds ALL W words of every
+    valid kmer so the full decode cannot be dead-code-eliminated).
+
+    The reduce path never materializes the (C, W) kmer matrix or a
+    per-offset bool mask: offset o = 16*w + c decodes from words w..w+W
+    shifted by 2c, and its valid bit is bit (16*(w&1) + c) of
+    vstart32[w>>1] — both pure (NW,)-wide u32 vector ops per phase, 16
+    phases. Count is a SWAR popcount of the vstart bitmask."""
     k = cfg.k
 
     def fn(arrs):
         s = arrs["strings32"]
-        kmers = P.iterate_kmers(s, k)
-        C = kmers.shape[0]
         v32 = arrs["vstart32"]
-        bits = (v32[:, None] >> jnp.arange(32, dtype=U32)[None, :]) & U32(1)
-        valid = bits.reshape(-1)[:C] != 0
         if materialize:
+            kmers = P.iterate_kmers(s, k)
+            C = kmers.shape[0]
+            bits = (v32[:, None] >> jnp.arange(32, dtype=U32)[None, :]) & U32(1)
+            valid = bits.reshape(-1)[:C] != 0
             return valid, kmers
-        cnt = valid.sum(dtype=I32)
-        chk = jnp.sum(jnp.where(valid, kmers[:, 0], U32(0)), dtype=U32)
+        W = P.num_words32(k)
+        NW = s.shape[0]
+        sp = jnp.concatenate([s, jnp.zeros((W,), dtype=U32)])
+        srcs = [jax.lax.dynamic_slice_in_dim(sp, j, NW) for j in range(W + 1)]
+        last_bits = 2 * k - 32 * (W - 1)
+        last_mask = U32(0xFFFFFFFF if last_bits >= 32 else (1 << last_bits) - 1)
+        # per-word valid half + bit: word w uses vstart32[w>>1], upper half
+        # when w is odd
+        NV = v32.shape[0]
+        vv = jnp.broadcast_to(v32[:, None], (NV, 2)).reshape(-1)[:NW]
+        half = (jnp.arange(NW, dtype=U32) & U32(1)) * U32(16)
+        acc = jnp.zeros((NW,), dtype=U32)
+        for c in range(16):
+            b = 2 * c
+            fold = None
+            for j in range(W):
+                xj = srcs[j] if b == 0 else (
+                    (srcs[j] >> U32(b)) | (srcs[j + 1] << U32(32 - b)))
+                if j == W - 1:
+                    xj = xj & last_mask
+                fold = xj if fold is None else fold ^ xj
+            m = (vv >> (half + U32(c))) & U32(1)
+            acc = acc + fold * m
+        chk = jnp.sum(acc, dtype=U32)
+        # SWAR popcount of the valid-start bitmask (zero-padded past C)
+        x = v32 - ((v32 >> 1) & U32(0x55555555))
+        x = (x & U32(0x33333333)) + ((x >> 2) & U32(0x33333333))
+        x = (x + (x >> 4)) & U32(0x0F0F0F0F)
+        cnt = jnp.sum((x * U32(0x01010101)) >> U32(24), dtype=I32)
         return cnt, chk
 
     return fn

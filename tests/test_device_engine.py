@@ -245,10 +245,15 @@ def test_sequential_iterator_matches_access(dict_k31, eng_k31):
                           index.k)
     np.testing.assert_array_equal(np.asarray(kmers)[valid], want)
 
-    # reduce variant (the perf-harness shape) agrees
+    # reduce variant (the perf-harness shape) agrees: count == num_kmers
+    # and the checksum XOR-folds ALL words of every valid kmer (so the
+    # full decode is live), summed mod 2^32
     cnt, chk = jax.tree.map(int, eng_k31._iterator(eng_k31.arrs))
     assert cnt == index.num_kmers
-    assert chk == int(want[:, 0].astype(np.uint64).sum() & 0xFFFFFFFF)
+    fold = want[:, 0].copy()
+    for j in range(1, want.shape[1]):
+        fold ^= want[:, j]
+    assert chk == int(fold.astype(np.uint64).sum() & 0xFFFFFFFF)
 
     # the stale-cache top-up path produces the identical bitmask
     np.testing.assert_array_equal(np.asarray(eng_k31.arrs["vstart32"]),
