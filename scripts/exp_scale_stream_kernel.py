@@ -3,7 +3,9 @@ compiled stream steps on device-resident buffers (no host parse, no
 upload) — the capability number once inputs are co-located with the chip
 (the ~28 MB/s tunnel upload is the end-to-end wall on this dev setup).
 
-Usage: python scripts/exp_scale_stream_kernel.py [index_dir]
+Usage: python scripts/exp_scale_stream_kernel.py [index_dir] [pmax]
+(pmax default 5<<20; larger single chunks amortize the anchor lookup's
+fixed passes — at A = P/16 lanes the lookup is latency-bound for small P)
 """
 
 import json
@@ -33,7 +35,8 @@ def main():
 
     base = os.path.dirname(path) or "."
     part = os.path.join(base, "stream_part.fa")
-    ds = _DeviceStream(eng, idx.k, pmax=5 << 20, rmax_shift=12)
+    pmax = int(sys.argv[2]) if len(sys.argv) > 2 else 5 << 20
+    ds = _DeviceStream(eng, idx.k, pmax=pmax, rmax_shift=12)
     ds._capture = []
     for seq in parse_reads(part, multiline=True):
         ds.add_read(seq)
