@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--ram-mb", type=int, default=16384)
     ap.add_argument("-k", type=int, default=31)
     ap.add_argument("-m", type=int, default=21)
+    ap.add_argument("--canonical", action="store_true",
+                    help="canonical index (reference human canon rows: "
+                         "592/420 ns pos/neg, BASELINE.md)")
     args = ap.parse_args()
 
     import jax
@@ -45,6 +48,7 @@ def main():
 
     t0 = time.perf_counter()
     d = Dictionary.build(fa, BuildConfig(k=args.k, m=args.m, verbose=True,
+                                         canonical=args.canonical,
                                          ram_limit_mb=args.ram_mb,
                                          tmp_dir=wd))
     build_s = time.perf_counter() - t0

@@ -5,7 +5,11 @@ lookup on the real chip. Complements the salmonella headline (4.8M kmers)
 with evidence the 2-gather-round design holds at human-scale table sizes
 (reference human k31 m21 rows: 735-746 ns/kmer, BASELINE.md).
 
-Usage: python scripts/exp_scale_device.py [index_dir]
+Usage: python scripts/exp_scale_device.py [index_dir] [axes]
+  axes: comma list of lookup,access,iterator,streaming (default: all) —
+  e.g. the canonical-index run passes "lookup" since access/iterator/
+  streaming are orientation-independent and already measured on the
+  regular index.
 Prints json lines (load / upload / lookup timings + a correctness count).
 """
 
@@ -21,6 +25,8 @@ sys.path.insert(0, REPO)
 
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale/idx200m"
+    axes = set((sys.argv[2] if len(sys.argv) > 2
+                else "lookup,access,iterator,streaming").split(","))
     import jax
     import jax.numpy as jnp
 
@@ -98,6 +104,7 @@ def main():
     out = eng._lookup_ids(eng.arrs, km32)
     ok = int((np.asarray(out["kmer_id"]) == ids.astype(np.uint32)).sum())
     print(json.dumps({"exp": "scale_lookup_m21",
+                      "mode": "canonical" if idx.canonical else "regular",
                       "num_kmers": int(idx.num_kmers),
                       "B": B,
                       "ns_per_kmer": round(best / B * 1e9, 1),
@@ -128,6 +135,8 @@ def main():
     # access at scale (the fused-row kernel; also exercises the acc_rows
     # synthesis path for pre-acc_rows .arrs caches)
     try:
+        if "access" not in axes:
+            raise RuntimeError("skipped by axes arg")
         ids_a = rng.integers(0, idx.num_kmers, B)
         ids32 = jax.device_put(jnp.asarray(ids_a.astype(np.uint32)))
         got = np.asarray(eng._access(eng.arrs, ids32[:4096]))
@@ -152,6 +161,8 @@ def main():
     # unlike the 4.8M-kmer salmonella bench (reference iterator axis:
     # 2.5 ns/kmer single thread, tools/perf.hpp:10-24)
     try:
+        if "iterator" not in axes:
+            raise RuntimeError("skipped by axes arg")
         from sshash_tpu.engine import make_iterator
 
         it = jax.jit(make_iterator(eng.cfg))
@@ -176,6 +187,8 @@ def main():
     # one warm streaming pass (high-hit: the source FASTA self-hits) over
     # the first reads of the scale collection
     try:
+        if "streaming" not in axes:
+            raise RuntimeError("skipped by axes arg")
         from sshash_tpu.streaming import streaming_query_from_file
 
         src = None
@@ -219,6 +232,8 @@ def main():
     # number once inputs are co-located (the ~28 MB/s tunnel upload is the
     # end-to-end wall on this setup; real deployments feed from HBM/ICI)
     try:
+        if "streaming" not in axes:
+            raise RuntimeError("skipped by axes arg")
         from sshash_tpu.streaming import _DeviceStream, parse_reads
 
         ds = _DeviceStream(eng, idx.k, pmax=5 << 20, rmax_shift=12)
