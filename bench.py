@@ -22,6 +22,16 @@ import numpy as np
 
 BASELINE_LOOKUPS_PER_S = 1e9 / 523.0  # reference fastest positive-lookup row
 BASELINE_STREAMING_KMERS_PER_S = 11.2e6  # reference high-hit human k31
+# the reference's BEST published streaming row (cod k31, 163.3M kmers in
+# 4.94 s — results-21-01-26/k31/regular-streaming-queries-high-hit.json:1);
+# report both denominators (VERDICT r4 weak #2: the human-row ratio alone
+# reads flattering)
+BASELINE_STREAMING_BEST_KMERS_PER_S = 33.0e6
+# reference human k31 m21 rows for the 200M-scale block (BASELINE.md)
+REF_SCALE_NS = {"regular_pos": 735.0, "regular_neg": 791.0,
+                "canonical_pos": 592.0, "canonical_neg": 420.0,
+                "access": 350.0}
+SCALE_DIR = "/tmp/scale"
 INPUT = "/root/reference/data/unitigs_stitched/salmonella_enterica_k31_ust.fa.gz"
 GENOME = "/root/reference/data/queries/salmonella_enterica.fasta.gz"
 READS = "/root/reference/data/queries/SRR5833294.10K.fastq.gz"
@@ -46,6 +56,76 @@ def _bench_lookup(eng, kmers32, B):
     # (lookup(kmer) -> id, tools/perf.hpp:29-47)
     reduced = jax.jit(lambda a, x: eng._lookup_ids_fn(a, x)["kmer_id"].sum())
     return B / _time_reduced(reduced, eng.arrs, kmers32)
+
+
+def _bench_scale(B=1 << 22):
+    """200M-kmer (human-config k31 m21) rows from the cached scale indexes
+    (built by scripts/build_scale_index.py). Regressions at GB scale get a
+    driver-visible tripwire (VERDICT r4 weak #5); returns a nested dict for
+    the single bench JSON line, or None when no cache is present."""
+    import gc
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from sshash_tpu import kmer as K
+    from sshash_tpu import oracle
+    from sshash_tpu.engine import DeviceEngine, StaticCfg, row_width
+    from sshash_tpu.index import Index
+
+    out = {}
+    rng = np.random.default_rng(11)
+    for mode, name in (("regular", "idx200m"), ("canonical", "idx200m_canon")):
+        path = os.path.join(SCALE_DIR, name)
+        cache = path + ".arrs"
+        if not (os.path.isdir(path) and os.path.isdir(cache)):
+            continue
+        try:
+            idx = Index.load(path)
+            host_arrs = {f[:-4]: np.load(os.path.join(cache, f), mmap_mode="r")
+                         for f in sorted(os.listdir(cache))
+                         if f.endswith(".npy")}
+            if host_arrs["cw_row"].shape[1] != row_width(StaticCfg(idx)):
+                raise ValueError(f"stale .arrs cache at {cache}")
+            eng = DeviceEngine(idx, host_arrs=host_arrs)
+            red = jax.jit(lambda a, x: eng._lookup_ids_fn(a, x)["kmer_id"].sum())
+            ids = rng.integers(0, idx.num_kmers, B)
+            km = oracle.access(idx, ids)
+            km[: B // 2] = K.revcomp_kmers(km[: B // 2], idx.k)
+            km32 = jax.device_put(jnp.asarray(K.kmers_to_u32(km, idx.k)))
+            # correctness gate before timing: all ids must round-trip
+            got = np.asarray(eng._lookup_ids(eng.arrs, km32)["kmer_id"])
+            assert np.array_equal(got, ids.astype(np.uint32)), \
+                f"scale {mode}: id round-trip failed"
+            pos_ns = _time_reduced(red, eng.arrs, km32) / B * 1e9
+            neg64 = rng.integers(0, 1 << 62, (B, idx.kmer_words64),
+                                 dtype=np.uint64)
+            neg64 &= np.uint64((1 << min(2 * idx.k, 63)) - 1)
+            neg32 = jax.device_put(jnp.asarray(K.kmers_to_u32(neg64, idx.k)))
+            neg_ns = _time_reduced(red, eng.arrs, neg32) / B * 1e9
+            row = {"num_kmers": int(idx.num_kmers),
+                   "positive_ns_per_kmer": round(pos_ns, 1),
+                   "negative_ns_per_kmer": round(neg_ns, 1),
+                   "positive_vs_ref": round(
+                       REF_SCALE_NS[f"{mode}_pos"] / pos_ns, 2),
+                   "negative_vs_ref": round(
+                       REF_SCALE_NS[f"{mode}_neg"] / neg_ns, 2)}
+            if mode == "regular":
+                ids32 = jax.device_put(jnp.asarray(
+                    rng.integers(0, idx.num_kmers, B).astype(np.uint32)))
+                acc = jax.jit(lambda a, i: eng._access(a, i)[:, 0].sum())
+                acc_ns = _time_reduced(acc, eng.arrs, ids32) / B * 1e9
+                row["access_ns_per_kmer"] = round(acc_ns, 1)
+                row["access_vs_ref"] = round(REF_SCALE_NS["access"] / acc_ns, 2)
+                del ids32
+            out[mode] = row
+            del eng, km32, neg32, host_arrs
+            gc.collect()
+        except Exception as e:  # noqa: BLE001 — scale rows must not lose line 1
+            print(f"scale bench ({mode}) failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    return out or None
 
 
 def main():
@@ -80,6 +160,11 @@ def main():
         kmers32 = jax.device_put(jnp.asarray(K.kmers_to_u32(kmers64, index.k)))
         res = eng.lookup_device(kmers32)
         n_found = int(np.asarray(res["found"]).sum())
+        # HARD on-chip canary for the k31 linear minimizer-select chain
+        # (the tournament tree is gated to nw > 24; this assert is the
+        # mandatory pass/fail artifact that a toolchain update cannot
+        # silently dodge — see ops/packed.compute_minimizer and the k63
+        # miscompile record in BENCH_NOTES.md)
         assert n_found == B, f"{mode}: expected all positive, found {n_found}/{B}"
         rates[mode] = _bench_lookup(eng, kmers32, B)
 
@@ -156,6 +241,41 @@ def main():
         print(f"streaming bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
+    # low-hit KERNEL-ONLY: re-time the captured compiled steps on their
+    # device-resident buffers — separates the run-skip machinery cost from
+    # the tunnel's upload/dispatch wall (VERDICT r4 weak #3)
+    low_kernel_rate = None
+    try:
+        from sshash_tpu.streaming import _DeviceStream, parse_reads
+
+        ds = _DeviceStream(d.to_device(), d.index.k, pmax=1 << 22,
+                           rmax_shift=4)
+        ds._capture = []
+        for seq in parse_reads(amp):
+            ds.add_read(seq)
+        rep_k = ds.finalize()
+        total = 0.0
+        for fn, jbuf in ds._capture:
+            np.asarray(fn(ds.engine.arrs, jbuf)[0])  # warm
+            best_s = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(fn(ds.engine.arrs, jbuf)[0])
+                best_s = min(best_s, time.perf_counter() - t0)
+            total += best_s
+        low_kernel_rate = rep_k["num_kmers"] / total
+    except Exception as e:  # noqa: BLE001 — report partial results
+        print(f"low-hit kernel bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    # 200M-kmer human-config scale rows (nested; present when the cached
+    # scale indexes exist — scripts/build_scale_index.py)
+    scale = None
+    try:
+        scale = _bench_scale()
+    except Exception as e:  # noqa: BLE001
+        print(f"scale bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+
     best_mode = max(rates, key=rates.get)
     value = rates[best_mode]
     print(json.dumps({
@@ -176,7 +296,14 @@ def main():
         "streaming_vs_ref_high_hit": round(
             stream_rate / BASELINE_STREAMING_KMERS_PER_S, 2)
         if stream_rate else None,
+        "streaming_vs_ref_best": round(
+            stream_rate / BASELINE_STREAMING_BEST_KMERS_PER_S, 2)
+        if stream_rate else None,
         "streaming_low_hit_kmers_per_s": round(low_rate) if low_rate else None,
+        "streaming_low_hit_kernel_kmers_per_s": round(low_kernel_rate)
+        if low_kernel_rate else None,
+        "k31_linear_chain_canary": "pass",  # the n_found == B asserts above
+        "scale_200m": scale,
     }))
 
 

@@ -22,14 +22,25 @@ sys.path.insert(0, REPO)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--kmers", type=int, default=200_000_000)
-    ap.add_argument("--out", default="/tmp/scale/idx200m")
+    ap.add_argument("--out", default=None,
+                    help="index output dir; default derives from --kmers and "
+                         "--canonical (e.g. /tmp/scale/idx200m_canon) so the "
+                         "two modes can never collide on one path")
     ap.add_argument("--ram-mb", type=int, default=16384)
     ap.add_argument("-k", type=int, default=31)
     ap.add_argument("-m", type=int, default=21)
     ap.add_argument("--canonical", action="store_true",
                     help="canonical index (reference human canon rows: "
                          "592/420 ns pos/neg, BASELINE.md)")
+    ap.add_argument("--no-arrs", action="store_true",
+                    help="skip the slot-expanded device-pytree cache")
     args = ap.parse_args()
+    if args.out is None:
+        mm = args.kmers // 1_000_000
+        tag = f"idx{mm}m" if mm < 1000 else f"idx{mm / 1000:g}g"
+        if args.canonical:
+            tag += "_canon"
+        args.out = f"/tmp/scale/{tag}"
 
     import jax
 
@@ -62,6 +73,8 @@ def main():
     print(json.dumps({"stage": "save", "sec": round(time.perf_counter() - t0, 1),
                       "out": args.out}), flush=True)
 
+    if args.no_arrs:
+        return 0
     # precompute the slot-expanded device pytree too (the multi-pass host
     # job exp_scale_device would otherwise do inline), so the TPU step is
     # pure upload + kernel
@@ -74,6 +87,10 @@ def main():
     from sshash_tpu.engine import _device_arrays
 
     host_arrs = _device_arrays(d.index)
+    # mode metadata rides the cache so a mismatched reuse fails loudly
+    # (a regular-mode .arrs must never serve a canonical engine)
+    meta = {"k": args.k, "m": args.m, "canonical": bool(args.canonical),
+            "num_kmers": d.num_kmers()}
     # a stale .tmp from a crashed run must not leak leftover .npy files into
     # the renamed cache (exp_scale_device loads every *.npy wholesale)
     import shutil
@@ -82,6 +99,8 @@ def main():
     os.makedirs(cache + ".tmp")
     for k2, v in host_arrs.items():
         np.save(os.path.join(cache + ".tmp", k2 + ".npy"), v)
+    with open(os.path.join(cache + ".tmp", "meta.json"), "w") as f:
+        json.dump(meta, f)
     os.rename(cache + ".tmp", cache)
     print(json.dumps({"stage": "device_arrays_cache",
                       "sec": round(time.perf_counter() - t0, 1),

@@ -23,10 +23,18 @@ REPO = __file__.rsplit("/", 2)[0]
 sys.path.insert(0, REPO)
 
 
+class _Skip(Exception):
+    """Axis disabled by the axes argument (never reported as an error)."""
+
+
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale/idx200m"
     axes = set((sys.argv[2] if len(sys.argv) > 2
                 else "lookup,access,iterator,streaming").split(","))
+    known_axes = {"lookup", "access", "iterator", "streaming"}
+    unknown = axes - known_axes
+    if unknown:
+        sys.exit(f"unknown axes {sorted(unknown)}; known: {sorted(known_axes)}")
     import jax
     import jax.numpy as jnp
 
@@ -53,10 +61,18 @@ def main():
     if os.path.isdir(cache):
         host_arrs = {f[:-4]: np.load(os.path.join(cache, f), mmap_mode="r")
                      for f in sorted(os.listdir(cache)) if f.endswith(".npy")}
-        from sshash_tpu.engine import StaticCfg
+        from sshash_tpu.engine import StaticCfg, row_width
 
+        meta_p = os.path.join(cache, "meta.json")
+        if os.path.exists(meta_p):
+            with open(meta_p) as f:
+                meta = json.load(f)
+            assert meta["canonical"] == bool(idx.canonical) \
+                and meta["k"] == idx.k and meta["m"] == idx.m, \
+                f"cache {cache} was built for {meta}, index is " \
+                f"k={idx.k} m={idx.m} canonical={idx.canonical}"
         cfg = StaticCfg(idx)
-        want_w = 2 + 2 * (1 + cfg.vbits_words + cfg.win_words + 4)
+        want_w = row_width(cfg)
         if host_arrs["cw_row"].shape[1] != want_w:
             print(json.dumps({"stage": "cache_stale",
                               "have_cols": int(host_arrs["cw_row"].shape[1]),
@@ -84,59 +100,69 @@ def main():
 
     B = 1 << 22
     rng = np.random.default_rng(7)
-    ids = rng.integers(0, idx.num_kmers, B)
-    km = oracle.access(idx, ids)
-    km[: B // 2] = K.revcomp_kmers(km[: B // 2], idx.k)
-    km32 = jax.device_put(jnp.asarray(K.kmers_to_u32(km, idx.k)))
+    if "lookup" not in axes:
+        print(json.dumps({"exp": "scale_lookup_m21", "skipped": True}),
+              flush=True)
+        print(json.dumps({"exp": "scale_negative_lookup", "skipped": True}),
+              flush=True)
+    else:
+        ids = rng.integers(0, idx.num_kmers, B)
+        km = oracle.access(idx, ids)
+        km[: B // 2] = K.revcomp_kmers(km[: B // 2], idx.k)
+        km32 = jax.device_put(jnp.asarray(K.kmers_to_u32(km, idx.k)))
 
-    red = jax.jit(lambda a, x: eng._lookup_ids_fn(a, x)["kmer_id"].sum())
-    t0 = time.perf_counter()
-    np.asarray(red(eng.arrs, km32))  # compile + upload the index arrays
-    print(json.dumps({"stage": "compile+upload",
-                      "sec": round(time.perf_counter() - t0, 1)}), flush=True)
-
-    best = float("inf")
-    for _ in range(5):
+        red = jax.jit(lambda a, x: eng._lookup_ids_fn(a, x)["kmer_id"].sum())
         t0 = time.perf_counter()
-        np.asarray(red(eng.arrs, km32))
-        best = min(best, time.perf_counter() - t0)
-    # correctness spot-check on the same batch (ids round-trip)
-    out = eng._lookup_ids(eng.arrs, km32)
-    ok = int((np.asarray(out["kmer_id"]) == ids.astype(np.uint32)).sum())
-    print(json.dumps({"exp": "scale_lookup_m21",
-                      "mode": "canonical" if idx.canonical else "regular",
-                      "num_kmers": int(idx.num_kmers),
-                      "B": B,
-                      "ns_per_kmer": round(best / B * 1e9, 1),
-                      "lookups_per_s": round(B / best),
-                      "ids_ok": ok,
-                      "device_bytes": dev_bytes}), flush=True)
-    assert ok == B, f"id round-trip failed: {ok}/{B}"
+        np.asarray(red(eng.arrs, km32))  # compile + upload the index arrays
+        print(json.dumps({"stage": "compile+upload",
+                          "sec": round(time.perf_counter() - t0, 1)}),
+              flush=True)
 
-    # negative lookup at scale (random kmers, same compiled kernel)
-    try:
-        neg64 = rng.integers(0, 1 << 62, (B, idx.kmer_words64), dtype=np.uint64)
-        neg64 &= np.uint64((1 << min(2 * idx.k, 63)) - 1)
-        neg32 = jax.device_put(jnp.asarray(K.kmers_to_u32(neg64, idx.k)))
-        np.asarray(red(eng.arrs, neg32))
-        best_n = float("inf")
+        best = float("inf")
         for _ in range(5):
             t0 = time.perf_counter()
+            np.asarray(red(eng.arrs, km32))
+            best = min(best, time.perf_counter() - t0)
+        # correctness spot-check on the same batch (ids round-trip)
+        out = eng._lookup_ids(eng.arrs, km32)
+        ok = int((np.asarray(out["kmer_id"]) == ids.astype(np.uint32)).sum())
+        print(json.dumps({"exp": "scale_lookup_m21",
+                          "mode": "canonical" if idx.canonical else "regular",
+                          "num_kmers": int(idx.num_kmers),
+                          "B": B,
+                          "ns_per_kmer": round(best / B * 1e9, 1),
+                          "lookups_per_s": round(B / best),
+                          "ids_ok": ok,
+                          "device_bytes": dev_bytes}), flush=True)
+        assert ok == B, f"id round-trip failed: {ok}/{B}"
+
+        # negative lookup at scale (random kmers, same compiled kernel)
+        try:
+            neg64 = rng.integers(0, 1 << 62, (B, idx.kmer_words64),
+                                 dtype=np.uint64)
+            neg64 &= np.uint64((1 << min(2 * idx.k, 63)) - 1)
+            neg32 = jax.device_put(jnp.asarray(K.kmers_to_u32(neg64, idx.k)))
             np.asarray(red(eng.arrs, neg32))
-            best_n = min(best_n, time.perf_counter() - t0)
-        print(json.dumps({"exp": "scale_negative_lookup",
-                          "ns_per_kmer": round(best_n / B * 1e9, 1),
-                          "lookups_per_s": round(B / best_n)}), flush=True)
-        del neg32
-    except Exception as e:  # noqa: BLE001
-        print(json.dumps({"exp": "scale_negative_lookup", "error": repr(e)}),
-              flush=True)
+            best_n = float("inf")
+            for _ in range(5):
+                t0 = time.perf_counter()
+                np.asarray(red(eng.arrs, neg32))
+                best_n = min(best_n, time.perf_counter() - t0)
+            print(json.dumps({"exp": "scale_negative_lookup",
+                              "ns_per_kmer": round(best_n / B * 1e9, 1),
+                              "lookups_per_s": round(B / best_n)}), flush=True)
+            del neg32
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"exp": "scale_negative_lookup",
+                              "error": repr(e)}), flush=True)
 
     # access at scale (the fused-row kernel; also exercises the acc_rows
     # synthesis path for pre-acc_rows .arrs caches)
+    if "access" not in axes:
+        print(json.dumps({"exp": "scale_access", "skipped": True}), flush=True)
     try:
         if "access" not in axes:
-            raise RuntimeError("skipped by axes arg")
+            raise _Skip
         ids_a = rng.integers(0, idx.num_kmers, B)
         ids32 = jax.device_put(jnp.asarray(ids_a.astype(np.uint32)))
         got = np.asarray(eng._access(eng.arrs, ids32[:4096]))
@@ -153,6 +179,8 @@ def main():
                           "ns_per_kmer": round(best_a / B * 1e9, 1),
                           "access_per_s": round(B / best_a)}), flush=True)
         del ids32
+    except _Skip:
+        pass
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"exp": "scale_access", "error": repr(e)}), flush=True)
 
@@ -160,9 +188,12 @@ def main():
     # ~200M kmers per call — the per-call ~40ms dispatch is amortized here,
     # unlike the 4.8M-kmer salmonella bench (reference iterator axis:
     # 2.5 ns/kmer single thread, tools/perf.hpp:10-24)
+    if "iterator" not in axes:
+        print(json.dumps({"exp": "scale_iterator", "skipped": True}),
+              flush=True)
     try:
         if "iterator" not in axes:
-            raise RuntimeError("skipped by axes arg")
+            raise _Skip
         from sshash_tpu.engine import make_iterator
 
         it = jax.jit(make_iterator(eng.cfg))
@@ -181,14 +212,21 @@ def main():
                           "sec": round(best_it, 3),
                           "ns_per_kmer": round(best_it * 1e9 / int(cnt), 3),
                           "kmers_per_s": round(int(cnt) / best_it)}), flush=True)
-    except Exception as e:  # noqa: BLE001 — keep the lookup row on failure
+    except _Skip:
+        pass
+    except Exception as e:  # noqa: BLE001
         print(json.dumps({"exp": "scale_iterator", "error": repr(e)}), flush=True)
 
     # one warm streaming pass (high-hit: the source FASTA self-hits) over
     # the first reads of the scale collection
+    if "streaming" not in axes:
+        print(json.dumps({"exp": "scale_streaming_high_hit", "skipped": True}),
+              flush=True)
+        print(json.dumps({"exp": "scale_streaming_kernel_only",
+                          "skipped": True}), flush=True)
     try:
         if "streaming" not in axes:
-            raise RuntimeError("skipped by axes arg")
+            raise _Skip
         from sshash_tpu.streaming import streaming_query_from_file
 
         src = None
@@ -223,6 +261,8 @@ def main():
                           "kmers_per_s": round(rep["num_kmers"] /
                                                (rep["elapsed_millisec"] / 1e3))}),
               flush=True)
+    except _Skip:
+        pass
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"exp": "scale_streaming_high_hit", "error": repr(e)}),
               flush=True)
@@ -233,7 +273,7 @@ def main():
     # end-to-end wall on this setup; real deployments feed from HBM/ICI)
     try:
         if "streaming" not in axes:
-            raise RuntimeError("skipped by axes arg")
+            raise _Skip
         from sshash_tpu.streaming import _DeviceStream, parse_reads
 
         ds = _DeviceStream(eng, idx.k, pmax=5 << 20, rmax_shift=12)
@@ -256,6 +296,8 @@ def main():
                           "sec": round(total, 3),
                           "ns_per_kmer": round(total * 1e9 / nk, 2),
                           "kmers_per_s": round(nk / total)}), flush=True)
+    except _Skip:
+        pass
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"exp": "scale_streaming_kernel_only",
                           "error": repr(e)}), flush=True)

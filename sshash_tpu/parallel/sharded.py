@@ -132,11 +132,12 @@ def _merge_pref_a(res_a, res_b, use_b, use_b_flags):
 
 
 def _branchfree_lookup(cfg, arrs, kmers32, per_shard, bucket_axis,
-                       per_shard_hrows=None):
+                       per_shard_hrows=None, fields="full"):
     """Full lookup with RC-fallback / tie-retry as unconditionally-masked
     probes (found is only global after the cross-shard combine); codeword
     ownership by MPHF-slot range on the bucket axis (and skew heavy rows by
-    row range when the index carries hindex)."""
+    row range when the index carries hindex). fields="ids" serves the
+    id-returning contract (required for rebased v2-row indexes)."""
     lo = jax.lax.axis_index(bucket_axis).astype(U32) * U32(per_shard)
     arrs = dict(arrs)
     arrs["cw_lo"] = lo
@@ -166,30 +167,32 @@ def _branchfree_lookup(cfg, arrs, kmers32, per_shard, bucket_axis,
                 mp2 = jnp.where(tie, mp_r, mp1)
                 res = _combine_bucket(
                     lookup_with_info(cfg, arrs, kmers32, kmers_rc32, mv1, mp1,
-                                     all_active, minpos2=mp2),
+                                     all_active, fields, minpos2=mp2),
                     bucket_axis)
             else:
                 # wide kmers: unconditionally-masked retry probe (the 4-try
                 # unroll blows up compile times past k~55)
                 res1 = _combine_bucket(
                     lookup_with_info(cfg, arrs, kmers32, kmers_rc32, mv1, mp1,
-                                     all_active),
+                                     all_active, fields),
                     bucket_axis)
                 res2 = _combine_bucket(
                     lookup_with_info(cfg, arrs, kmers32, kmers_rc32, mv_r,
-                                     mp_r, tie),
+                                     mp_r, tie, fields),
                     bucket_axis)
                 retry = tie & ~res1["found"]
                 res = _merge_pref_a(res1, res2, retry & res2["found"], retry)
         else:
             mv, mp = Pk.compute_minimizer(kmers32, cfg.k, cfg.m, magic)
             res1 = _combine_bucket(
-                lookup_with_info(cfg, arrs, kmers32, None, mv, mp, all_active),
+                lookup_with_info(cfg, arrs, kmers32, None, mv, mp, all_active,
+                                 fields),
                 bucket_axis)
             kmers_rc32 = Pk.revcomp_kmers(kmers32, cfg.k)
             mv_r, mp_r = Pk.compute_minimizer(kmers_rc32, cfg.k, cfg.m, magic)
             res2 = _combine_bucket(
-                lookup_with_info(cfg, arrs, kmers_rc32, None, mv_r, mp_r, all_active),
+                lookup_with_info(cfg, arrs, kmers_rc32, None, mv_r, mp_r,
+                                 all_active, fields),
                 bucket_axis)
             miss = ~res1["found"]
             res = _merge_pref_a(res1, res2, miss & res2["found"], miss)
@@ -204,12 +207,12 @@ def _branchfree_lookup(cfg, arrs, kmers32, per_shard, bucket_axis,
 
 
 def make_sharded_lookup(cfg, per_shard, data_axis="data", bucket_axis="bucket",
-                        per_shard_hrows=None):
+                        per_shard_hrows=None, fields="full"):
     """Branch-free multi-shard lookup body (to be wrapped in shard_map)."""
 
     def body(arrs, kmers32):
         res = _branchfree_lookup(cfg, arrs, kmers32, per_shard, bucket_axis,
-                                 per_shard_hrows)
+                                 per_shard_hrows, fields)
         # per-step report, psum'd over the data axis (SURVEY.md §2.5: the
         # streaming_query_report counters merge via psum)
         B = kmers32.shape[0]
@@ -281,7 +284,8 @@ def make_sharded_weight(cfg, data_axis="data", bucket_axis="bucket"):
 
 
 def make_sharded_neighbours(cfg, per_shard, data_axis="data",
-                            bucket_axis="bucket", per_shard_hrows=None):
+                            bucket_axis="bucket", per_shard_hrows=None,
+                            fields="full"):
     """Batched navigation on the mesh: the 8 neighbour variants ride one
     branch-free sharded lookup (reference src/dictionary.cpp:112-128)."""
 
@@ -294,7 +298,7 @@ def make_sharded_neighbours(cfg, per_shard, data_axis="data",
             [Pk.set_char(fwd, k - 1, c) for c in range(4)]
             + [Pk.set_char(bwd, 0, c) for c in range(4)], axis=0)
         res = _branchfree_lookup(cfg, arrs, allk, per_shard, bucket_axis,
-                                 per_shard_hrows)
+                                 per_shard_hrows, fields)
         return {key: v.reshape(8, Bl).T for key, v in res.items()}
 
     return body
@@ -657,9 +661,13 @@ class ShardedEngine:
             self.arrs[key] = _put_global(arr, NamedSharding(self.mesh, spec))
 
         self._in_specs = in_specs
+        # rebased v2-row indexes (>= 2^32 chars) serve the id-returning
+        # contract; v1 indexes keep the full lookup_advanced fields
+        fields = "ids" if self.cfg.row_v2 else "full"
         body = make_sharded_lookup(self.cfg, per_shard, data_axis, bucket_axis,
-                                   self.per_shard_hrows)
-        res_spec = {k2: P(data_axis) for k2 in list(_empty_res(1)) + ["found"]}
+                                   self.per_shard_hrows, fields)
+        res_spec = {k2: P(data_axis)
+                    for k2 in list(_empty_res(1, fields)) + ["found"]}
         rep_spec = {"num_kmers": P(), "num_positive": P()}
         self._lookup = jax.jit(
             shard_map(
@@ -693,9 +701,10 @@ class ShardedEngine:
             in_specs=(in_specs, P(data_axis)),
             out_specs=P(data_axis, None), check_vma=False))
         nb_body = make_sharded_neighbours(self.cfg, per_shard, data_axis,
-                                          bucket_axis, self.per_shard_hrows)
+                                          bucket_axis, self.per_shard_hrows,
+                                          fields)
         nb_spec = {k2: P(data_axis, None)
-                   for k2 in list(_empty_res(1)) + ["found"]}
+                   for k2 in list(_empty_res(1, fields)) + ["found"]}
         self._neighbours = jax.jit(shard_map(
             nb_body, mesh=self.mesh,
             in_specs=(in_specs, P(data_axis, None)),

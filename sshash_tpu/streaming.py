@@ -307,6 +307,12 @@ def make_stream_step(cfg, lookup, P_, R_, swin=None, debug_stage=None,
     import jax
     import jax.numpy as jnp
 
+    if getattr(cfg, "row_v2", False):
+        raise ValueError(
+            "streaming needs full lookup fields (string bounds for the "
+            "chain-extension in-string test) and char-offset cursors; "
+            "rebased v2-row indexes (>= 2^32 chars) serve point queries "
+            "only — shard the input into < 2^32-char sub-indexes to stream")
     I32 = jnp.int32
     U32j = jnp.uint32
     S = 16  # anchor stride: 1 full lookup per S positions on hit-dense data
@@ -432,10 +438,23 @@ def make_stream_step(cfg, lookup, P_, R_, swin=None, debug_stage=None,
         # fallback lane pays a full lookup, so window PADDING waste matters
         # as much as per-window fixed passes: P/8 windows measured WORSE
         # than P/64 (last window ~97% padding on a ~13%-heads chunk).
-        import os
+        # Knob: StaticCfg.stream_wdiv (env SSHASH_STREAM_WDIV override).
+        Wp = max(4096, P_ // getattr(cfg, "stream_wdiv", 64))
+        wide = getattr(cfg, "wide_ids", False)
 
-        _wdiv = max(1, int(os.environ.get("SSHASH_STREAM_WDIV", "64")))
-        Wp = max(4096, P_ // _wdiv)
+        def pk_pack(kid, ori):
+            """Per-lane result carry: [kid+1 | backward-bit] packed in one
+            u32 column, or two columns when ids exceed 31 bits
+            (cfg.wide_ids; 0 in column 0 still means not-found)."""
+            bb = (ori < 0).astype(U32j)
+            if wide:
+                return jnp.stack([kid + U32j(1), bb], axis=1)
+            return ((kid + U32j(1)) << 1) | bb
+
+        def pk_unpack(pk):
+            if wide:
+                return pk[:, 0] > 0, pk[:, 0] - U32j(1), pk[:, 1]
+            return pk > 0, (pk >> 1) - U32j(1), pk & 1
 
         def derive_fast(_):
             """No fallback needed (every valid position chained): all
@@ -548,8 +567,7 @@ def make_stream_step(cfg, lookup, P_, R_, swin=None, debug_stage=None,
                     r2 = lookup(arrs, km)
                     f2 = r2["found"] & ok
                     tgt = jnp.where(f2, lid, P_)
-                    pk2 = (((r2["kmer_id"] + U32j(1)) << 1)
-                           | (r2["kmer_orientation"] < 0).astype(U32j))
+                    pk2 = pk_pack(r2["kmer_id"], r2["kmer_orientation"])
                     pk_l = pk_l.at[tgt].set(pk2, mode="drop")
                     sid_l = sid_l.at[tgt].set(r2["string_id"], mode="drop")
                     if record_mf:
@@ -566,9 +584,9 @@ def make_stream_step(cfg, lookup, P_, R_, swin=None, debug_stage=None,
                     (jnp.int32(0), carry))
                 return out
 
-            pk_l = jnp.where(found_l,
-                             ((kid_l + U32j(1)) << 1)
-                             | (ori_l < 0).astype(U32j), U32j(0))
+            pk0 = pk_pack(kid_l, ori_l)
+            fmask = found_l[:, None] if wide else found_l
+            pk_l = jnp.where(fmask, pk0, U32j(0))
             carry3 = (pk_l, sid_l, head_mf)
             carry3 = run_windows(head, nheads, carry3, record_mf=True)
             pk_l, sid_l, head_mf = carry3
@@ -583,9 +601,9 @@ def make_stream_step(cfg, lookup, P_, R_, swin=None, debug_stage=None,
             n2 = round2.sum()
             carry3 = run_windows(round2, n2, carry3, record_mf=False)
             pk_l, sid_l, _ = carry3
-            found_l = pk_l > 0
-            kid_l = jnp.where(found_l, (pk_l >> 1) - U32j(1), kid_l)
-            ori_l = jnp.where(found_l, I32(1) - I32(2) * (pk_l & 1).astype(I32),
+            found_l, kid_u, bbit = pk_unpack(pk_l)
+            kid_l = jnp.where(found_l, kid_u, kid_l)
+            ori_l = jnp.where(found_l, I32(1) - I32(2) * bbit.astype(I32),
                               ori_l)
             if debug_stage == "dfl_win2":
                 return dbg(found_l, sid_l, kid_l, ori_l)
