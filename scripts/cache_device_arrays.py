@@ -26,10 +26,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("index_dir")
     ap.add_argument("--v2", action="store_true")
+    ap.add_argument("--no-c1", action="store_true",
+                    help="drop the candidate-1 row block (SSHASH_NO_C1)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     if args.v2:
         os.environ["SSHASH_ROW_V2"] = "1"
+    if args.no_c1:
+        os.environ["SSHASH_NO_C1"] = "1"
 
     import jax
 

@@ -56,7 +56,10 @@ def main():
     import os
 
     t0 = time.perf_counter()
-    cache = path.rstrip("/") + ".arrs"
+    # SSHASH_ARRS_DIR points at an alternate cached pytree (row-format A/B:
+    # v2 / no-c1 variants built by scripts/cache_device_arrays.py under the
+    # matching SSHASH_ROW_V2 / SSHASH_NO_C1 env)
+    cache = os.environ.get("SSHASH_ARRS_DIR") or path.rstrip("/") + ".arrs"
     host_arrs = None
     if os.path.isdir(cache):
         host_arrs = {f[:-4]: np.load(os.path.join(cache, f), mmap_mode="r")

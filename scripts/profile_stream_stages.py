@@ -29,22 +29,40 @@ def timeit(fn, args, reps=3):
 
 
 def main():
+    import os
+
     import jax
 
     from sshash_tpu import BuildConfig, Dictionary
     from sshash_tpu.engine import make_lookup
     from sshash_tpu.streaming import _DeviceStream, make_stream_step, parse_reads
 
-    d = Dictionary.build(INPUT, BuildConfig(k=31, m=17, verbose=False))
-    eng = d.to_device()
+    os.environ["SSHASH_STREAM_PIPELINE"] = "0"  # kernel-only timings
+    # SSHASH_PROFILE_IDX: profile against a cached scale index (+ .arrs)
+    # instead of the salmonella build; streams stream_part.fa next to it
+    idx_dir = os.environ.get("SSHASH_PROFILE_IDX")
+    if idx_dir:
+        from sshash_tpu.engine import DeviceEngine
+        from sshash_tpu.index import Index
+
+        idx = Index.load(idx_dir)
+        cache = idx_dir.rstrip("/") + ".arrs"
+        host_arrs = {f[:-4]: np.load(os.path.join(cache, f), mmap_mode="r")
+                     for f in sorted(os.listdir(cache)) if f.endswith(".npy")}
+        eng = DeviceEngine(idx, host_arrs=host_arrs)
+        genome = os.path.join(os.path.dirname(idx_dir), "stream_part.fa")
+    else:
+        d = Dictionary.build(INPUT, BuildConfig(k=31, m=17, verbose=False))
+        eng = d.to_device()
+        genome = GENOME
     cfg = eng.cfg
 
-    ds = _DeviceStream(eng, 31, pmax=P_, rmax_shift=SHIFT)
+    ds = _DeviceStream(eng, cfg.k, pmax=P_, rmax_shift=SHIFT)
     ds._no_ladder = True  # keep every chunk on the full-P step (capturable)
     captured = []
     real_step = ds._step
     ds._step = lambda *a: captured.append(a) or real_step(*a)
-    for seq in parse_reads(GENOME, multiline=True):
+    for seq in parse_reads(genome, multiline=True):
         ds.add_read(seq)
     ds.flush()
     args = captured[0]  # the one full-P chunk

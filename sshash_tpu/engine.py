@@ -92,9 +92,12 @@ def use_row_v2(index):
 
 
 def row_width(cfg):
-    """Fused cw_row width in u32 words: [status|b, a] + 2 candidate blocks,
-    each [ext_off, vbits, window, resolve quad]."""
-    return 2 + 2 * cand_block_width(cfg)
+    """Fused cw_row width in u32 words: [status|b, a] + 1 or 2 candidate
+    blocks, each [ext_off, vbits, window, resolve quad]. SSHASH_NO_C1=1
+    drops the candidate-1 block (size-2 buckets then ride the pair sweep)
+    — roughly halves the hot-row bytes, the HBM-locality lever at GB-scale
+    tables (round-5 A/B, BENCH_NOTES)."""
+    return 2 + (2 if cfg.c1_in_row else 1) * cand_block_width(cfg)
 
 
 def cand_block_width(cfg):
@@ -309,17 +312,20 @@ def _device_arrays(index):
     # 99.4% singleton / 0.5% size-2 / 0.1% bigger by lane weight) then
     # resolve entirely in the one codeword gather; the compacted pair sweep
     # only serves the size>=3 tail
-    has2 = midm & (b >= 2)
-    cand1 = np.zeros_like(cand0)
-    if len(mid_arr):
-        cand1 = np.where(
-            has2, mid_arr[np.clip(a.astype(np.int64) + 1, 0, len(mid_arr) - 1)],
-            np.uint32(0))
-    c1rows = fused_rows(cand1)
-    c1rows[~has2, :] = 0
     cols = [sb, a.astype(np.uint32)] \
-        + [c0rows[:, i] for i in range(c0rows.shape[1])] \
-        + [c1rows[:, i] for i in range(c1rows.shape[1])]
+        + [c0rows[:, i] for i in range(c0rows.shape[1])]
+    c1rows = None
+    if not _env_flag("SSHASH_NO_C1"):
+        has2 = midm & (b >= 2)
+        cand1 = np.zeros_like(cand0)
+        if len(mid_arr):
+            cand1 = np.where(
+                has2,
+                mid_arr[np.clip(a.astype(np.int64) + 1, 0, len(mid_arr) - 1)],
+                np.uint32(0))
+        c1rows = fused_rows(cand1)
+        c1rows[~has2, :] = 0
+        cols += [c1rows[:, i] for i in range(c1rows.shape[1])]
     # stream columns into a preallocated table (np.stack would duplicate
     # the ~22 GB slot-expanded matrix of a 2.2B-kmer build)
     col0 = _expand_to_slots(cols[0], f)
@@ -565,6 +571,7 @@ class StaticCfg:
         self.wide_ids = (index.num_kmers >= 1 << 31
                          or _env_flag("SSHASH_WIDE_IDS"))
         self.reg_dual = not _env_flag("SSHASH_REG_DUAL_OFF")
+        self.c1_in_row = not _env_flag("SSHASH_NO_C1")
         # fused-row geometry: each codeword row carries the packed-string
         # window around candidate 0 (chars [16*(max(0,cand0-(k-m))>>4),
         # cand0+k)) plus the valid-start bits for its k-m+1 possible kmer
@@ -691,7 +698,7 @@ def _empty_res(B, fields="full"):
 
 
 def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0,
-                     fields="full", minpos2=None):
+                     fields="full", minpos2=None, probe_light=False):
     """Shared probe kernel. Regular mode: kmers_rc32 is None.
     Canonical mode: candidates verified at two pos_in_kmer values against both
     strands (spss:237-275). Returns result dict (+ 'found').
@@ -887,121 +894,132 @@ def lookup_with_info(cfg, arrs, kmers32, kmers_rc32, minval, minpos, active0,
     # no candidate can match (all are occurrences of that other m-mer)
     active0 = active0 & (guard_ok | heavy)
 
-    # ---- candidate 1 rides the same row (size-2 buckets need no sweep)
-    rowW = 1 + Wv + Ww + QW
-    c1blk = row[:, 2 + rowW : 2 + 2 * rowW]
-    f1, bko1, bor1, sid1, sb1, se1 = verify_fused(
-        c1blk[:, 0], c1blk[:, 1 : 1 + Wv], c1blk[:, 1 + Wv : 1 + Wv + Ww],
-        c1blk[:, 1 + Wv + Ww :],
-        active0 & midload & (size >= U32(2)) & ~found,
-        kmers32, kmers_rc32, tries)
-    found = found | f1
-    bko = jnp.where(f1, bko1, bko)
-    bor = jnp.where(f1, bor1, bor)
-    bsid = jnp.where(f1, sid1, bsid)
-    bsb = jnp.where(f1, sb1, bsb)
-    bse = jnp.where(f1, se1, bse)
+    # ---- candidate 1 rides the same row (size-2 buckets need no sweep);
+    # SSHASH_NO_C1 drops the block (half the row bytes) and lets the sweep
+    # serve size >= 2
+    if cfg.c1_in_row:
+        rowW = 1 + Wv + Ww + QW
+        c1blk = row[:, 2 + rowW : 2 + 2 * rowW]
+        f1, bko1, bor1, sid1, sb1, se1 = verify_fused(
+            c1blk[:, 0], c1blk[:, 1 : 1 + Wv], c1blk[:, 1 + Wv : 1 + Wv + Ww],
+            c1blk[:, 1 + Wv + Ww :],
+            active0 & midload & (size >= U32(2)) & ~found,
+            kmers32, kmers_rc32, tries)
+        found = found | f1
+        bko = jnp.where(f1, bko1, bko)
+        bor = jnp.where(f1, bor1, bor)
+        bsid = jnp.where(f1, sid1, bsid)
+        bsb = jnp.where(f1, sb1, bsb)
+        bse = jnp.where(f1, se1, bse)
+    jmin = U32(2 if cfg.c1_in_row else 1)  # first sweep candidate index
 
-    # ---- candidates 2..size-1 (midload size >= 3 only): compacted pair sweep
-    # Window width trades per-window cost (the PMAX-wide mrow gather
-    # dominates it) against window COUNT for pair-heavy batches; with
-    # candidates 0-1 in-row only the size>=3 tail (~0.1% of lanes at m17)
-    # reaches here, so narrow windows win decisively — the round-4 sweep
-    # (scripts/exp_r4_lookup.py) measured div 8/32/64/256/1024 at
-    # 73.5/51.8/50.1/56.8/89.7 ns on salmonella m17 canonical.
-    PMAX = max(128, B // cfg.pair_div)  # pair-window width; multiple windows when exceeded
-    need = active0 & midload & ~found & (size > U32(2))
-    nprobe = jnp.where(need, size - U32(2), U32(0)).astype(jnp.int32)
-    # both compaction sums ride ONE two-column grouped scan
-    ps2 = P.prefix_sum_ex(jnp.stack([nprobe, need.astype(jnp.int32)], axis=1))
-    starts, rank = ps2[:, 0], ps2[:, 1]
-    ends = starts + nprobe
-    total = ends[-1]
+    if probe_light:
+        # light probe (regular-mode fused dual-strand RC pass): skip the
+        # pair sweep entirely and report which lanes would have needed
+        # it; the caller resolves them in a compacted window (the
+        # size>=3 tail is ~0.1% of lanes at sane m)
+        res["unresolved"] = active0 & midload & ~found & (size > jmin)
+    else:
+        # ---- candidates 2..size-1 (midload size >= 3 only): compacted pair sweep
+        # Window width trades per-window cost (the PMAX-wide mrow gather
+        # dominates it) against window COUNT for pair-heavy batches; with
+        # candidates 0-1 in-row only the size>=3 tail (~0.1% of lanes at m17)
+        # reaches here, so narrow windows win decisively — the round-4 sweep
+        # (scripts/exp_r4_lookup.py) measured div 8/32/64/256/1024 at
+        # 73.5/51.8/50.1/56.8/89.7 ns on salmonella m17 canonical.
+        PMAX = max(128, B // cfg.pair_div)  # pair-window width; multiple windows when exceeded
+        need = active0 & midload & ~found & (size > jmin)
+        nprobe = jnp.where(need, size - jmin, U32(0)).astype(jnp.int32)
+        # both compaction sums ride ONE two-column grouped scan
+        ps2 = P.prefix_sum_ex(jnp.stack([nprobe, need.astype(jnp.int32)], axis=1))
+        starts, rank = ps2[:, 0], ps2[:, 1]
+        ends = starts + nprobe
+        total = ends[-1]
 
-    # compacted lane list: lane_ids[rank] = lane (rank in start order)
-    lane_ids = jnp.zeros((B,), dtype=jnp.int32).at[
-        jnp.where(need, rank, B)].set(jnp.arange(B, dtype=jnp.int32), mode="drop")
+        # compacted lane list: lane_ids[rank] = lane (rank in start order)
+        lane_ids = jnp.zeros((B,), dtype=jnp.int32).at[
+            jnp.where(need, rank, B)].set(jnp.arange(B, dtype=jnp.int32), mode="drop")
 
-    def pair_window(w, carry):
-        found, bko, bor, bsid, bsb, bse = carry
-        base = w * PMAX
-        slot = jnp.arange(PMAX, dtype=jnp.int32)
-        gid = base + slot
-        in_w = need & (ends > base) & (starts < base + PMAX)
-        local_start = jnp.clip(starts - base, 0, PMAX - 1)
-        marks = jnp.zeros((PMAX,), dtype=jnp.int32).at[
-            jnp.where(in_w, local_start, PMAX)].add(1, mode="drop")
-        rank_base = jnp.sum((need & (ends <= base)).astype(jnp.int32))
-        seg = P.prefix_sum_ex(marks) + marks - 1 + rank_base
-        lane = _take(lane_ids, jnp.clip(seg, 0, B - 1).astype(U32))
-        pvalid = gid < total
-        lane_u = lane.astype(U32)
-        j = (gid - _take(starts, lane_u)).astype(U32) + U32(2)
-        midx = _take(cw_a, lane_u) + j
-        mrow = jnp.take(arrs["mid_rows"], midx.astype(I32), axis=0, mode="clip")
-        lk = jnp.take(kmers32, lane, axis=0, mode="clip")
-        lkr = jnp.take(kmers_rc32, lane, axis=0, mode="clip") if canonical else None
-        Wvm = cfg.vbits_words
-        pm, pko, por, psid, psb, pse = verify_fused(
-            mrow[:, 0], mrow[:, 1 : 1 + Wvm], mrow[:, 1 + Wvm : 1 + Wvm + Ww],
-            mrow[:, 1 + Wvm + Ww :], pvalid, lk, lkr,
-            [_take(t, lane_u) for t in tries])
-        # at most one candidate per lane can match (kmers are distinct in the
-        # SPSS), so scatter-max combines are exact; all result fields ride
-        # ONE (B, C) scatter (each B-wide scatter pass costs ~2 ns/lane).
-        # ids mode resolves kmer_id per-probe in-register (id = off -
-        # sid*(k-1), the quad is already in the row) and packs
-        # [id+1 | backward-bit] into ONE scatter column (ids < 2^31 by the
-        # uint32 chars/ids guard); the carry then holds (bko=id, bsid=0) so
-        # the shared final resolve `bko - bsid*(k-1)` stays correct.
-        tgt = jnp.where(pm, lane, B)
-        if full:
-            cols = [pko + U32(1), (por + I32(2)).astype(U32), psid, psb, pse]
-            acc = jnp.zeros((B, len(cols)), dtype=U32).at[tgt].max(
-                jnp.stack(cols, axis=1), mode="drop")
-            hit = acc[:, 0]
-            newly = hit > 0
-            bko = jnp.where(newly, hit - U32(1), bko)
-            bor = jnp.where(newly, acc[:, 1].astype(I32) - I32(2), bor)
-            bsid = jnp.where(newly, acc[:, 2], bsid)
-            bsb = jnp.where(newly, acc[:, 3], bsb)
-            bse = jnp.where(newly, acc[:, 4], bse)
-        else:
-            pkid = pko if cfg.row_v2 else pko - psid * U32(k - 1)
-            if cfg.wide_ids:
-                # ids >= 2^31 don't fit the packed column: two-column
-                # scatter [id+1, orient+2] (same exactness argument)
-                acc = jnp.zeros((B, 2), dtype=U32).at[tgt].max(jnp.stack(
-                    [jnp.where(pm, pkid + U32(1), U32(0)),
-                     (por + I32(2)).astype(U32)], axis=1), mode="drop")
-                newly = acc[:, 0] > 0
-                bko = jnp.where(newly, acc[:, 0] - U32(1), bko)
+        def pair_window(w, carry):
+            found, bko, bor, bsid, bsb, bse = carry
+            base = w * PMAX
+            slot = jnp.arange(PMAX, dtype=jnp.int32)
+            gid = base + slot
+            in_w = need & (ends > base) & (starts < base + PMAX)
+            local_start = jnp.clip(starts - base, 0, PMAX - 1)
+            marks = jnp.zeros((PMAX,), dtype=jnp.int32).at[
+                jnp.where(in_w, local_start, PMAX)].add(1, mode="drop")
+            rank_base = jnp.sum((need & (ends <= base)).astype(jnp.int32))
+            seg = P.prefix_sum_ex(marks) + marks - 1 + rank_base
+            lane = _take(lane_ids, jnp.clip(seg, 0, B - 1).astype(U32))
+            pvalid = gid < total
+            lane_u = lane.astype(U32)
+            j = (gid - _take(starts, lane_u)).astype(U32) + jmin
+            midx = _take(cw_a, lane_u) + j
+            mrow = jnp.take(arrs["mid_rows"], midx.astype(I32), axis=0, mode="clip")
+            lk = jnp.take(kmers32, lane, axis=0, mode="clip")
+            lkr = jnp.take(kmers_rc32, lane, axis=0, mode="clip") if canonical else None
+            Wvm = cfg.vbits_words
+            pm, pko, por, psid, psb, pse = verify_fused(
+                mrow[:, 0], mrow[:, 1 : 1 + Wvm], mrow[:, 1 + Wvm : 1 + Wvm + Ww],
+                mrow[:, 1 + Wvm + Ww :], pvalid, lk, lkr,
+                [_take(t, lane_u) for t in tries])
+            # at most one candidate per lane can match (kmers are distinct in the
+            # SPSS), so scatter-max combines are exact; all result fields ride
+            # ONE (B, C) scatter (each B-wide scatter pass costs ~2 ns/lane).
+            # ids mode resolves kmer_id per-probe in-register (id = off -
+            # sid*(k-1), the quad is already in the row) and packs
+            # [id+1 | backward-bit] into ONE scatter column (ids < 2^31 by the
+            # uint32 chars/ids guard); the carry then holds (bko=id, bsid=0) so
+            # the shared final resolve `bko - bsid*(k-1)` stays correct.
+            tgt = jnp.where(pm, lane, B)
+            if full:
+                cols = [pko + U32(1), (por + I32(2)).astype(U32), psid, psb, pse]
+                acc = jnp.zeros((B, len(cols)), dtype=U32).at[tgt].max(
+                    jnp.stack(cols, axis=1), mode="drop")
+                hit = acc[:, 0]
+                newly = hit > 0
+                bko = jnp.where(newly, hit - U32(1), bko)
                 bor = jnp.where(newly, acc[:, 1].astype(I32) - I32(2), bor)
+                bsid = jnp.where(newly, acc[:, 2], bsid)
+                bsb = jnp.where(newly, acc[:, 3], bsb)
+                bse = jnp.where(newly, acc[:, 4], bse)
             else:
-                packed = ((pkid + U32(1)) << U32(1)) | (por < 0).astype(U32)
-                acc1 = jnp.zeros((B,), dtype=U32).at[tgt].max(
-                    jnp.where(pm, packed, U32(0)), mode="drop")
-                newly = acc1 > 0
-                bko = jnp.where(newly, (acc1 >> U32(1)) - U32(1), bko)
-                bor = jnp.where(newly,
-                                I32(1) - I32(2) * (acc1 & U32(1)).astype(I32),
-                                bor)
-            bsid = jnp.where(newly, U32(0), bsid)
-        found = found | newly
-        return found, bko, bor, bsid, bsb, bse
+                pkid = pko if cfg.row_v2 else pko - psid * U32(k - 1)
+                if cfg.wide_ids:
+                    # ids >= 2^31 don't fit the packed column: two-column
+                    # scatter [id+1, orient+2] (same exactness argument)
+                    acc = jnp.zeros((B, 2), dtype=U32).at[tgt].max(jnp.stack(
+                        [jnp.where(pm, pkid + U32(1), U32(0)),
+                         (por + I32(2)).astype(U32)], axis=1), mode="drop")
+                    newly = acc[:, 0] > 0
+                    bko = jnp.where(newly, acc[:, 0] - U32(1), bko)
+                    bor = jnp.where(newly, acc[:, 1].astype(I32) - I32(2), bor)
+                else:
+                    packed = ((pkid + U32(1)) << U32(1)) | (por < 0).astype(U32)
+                    acc1 = jnp.zeros((B,), dtype=U32).at[tgt].max(
+                        jnp.where(pm, packed, U32(0)), mode="drop")
+                    newly = acc1 > 0
+                    bko = jnp.where(newly, (acc1 >> U32(1)) - U32(1), bko)
+                    bor = jnp.where(newly,
+                                    I32(1) - I32(2) * (acc1 & U32(1)).astype(I32),
+                                    bor)
+                bsid = jnp.where(newly, U32(0), bsid)
+            found = found | newly
+            return found, bko, bor, bsid, bsb, bse
 
-    num_windows = (total + PMAX - 1) // PMAX
+        num_windows = (total + PMAX - 1) // PMAX
 
-    def cond(carry):
-        w, _ = carry
-        return w < num_windows
+        def cond(carry):
+            w, _ = carry
+            return w < num_windows
 
-    def body(carry):
-        w, state = carry
-        return w + 1, pair_window(w, state)
+        def body(carry):
+            w, state = carry
+            return w + 1, pair_window(w, state)
 
-    _, (found, bko, bor, bsid, bsb, bse) = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), (found, bko, bor, bsid, bsb, bse)))
+        _, (found, bko, bor, bsid, bsb, bse) = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), (found, bko, bor, bsid, bsb, bse)))
 
     # ---- ids come straight from the winning row's resolve quad (no gather)
     off = jnp.where(found, bko, U32(0))
@@ -1085,8 +1103,8 @@ def make_lookup(cfg, fields="full"):
             lane = jnp.arange(B, dtype=I32)
             n_miss = miss.sum()
 
-            def fb_window(w, res, lane_ids, total):
-                slot = w * Wf + jnp.arange(Wf, dtype=I32)
+            def fb_window(w, res, lane_ids, total, Wfx=Wf):
+                slot = w * Wfx + jnp.arange(Wfx, dtype=I32)
                 lid = jnp.take(lane_ids, jnp.clip(slot, 0, B - 1), mode="clip")
                 ok = slot < total
                 km = jnp.take(kmers32, lid, axis=0, mode="clip")
@@ -1144,11 +1162,57 @@ def make_lookup(cfg, fields="full"):
                     miss, I32(BACKWARD_ORIENTATION), merged["kmer_orientation"])
                 return merged
 
-            res = jax.lax.cond(
-                n_miss > 0,
-                lambda r: jax.lax.cond(n_miss > (B * 5) // 8, full_width, windowed, r),
-                lambda r: r,
-                res)
+            def dual(r):
+                """Fused dual-strand RC pass (round 5, regular-mode >=10x
+                push): when ANY lane missed forward, resolve the whole RC
+                attempt (src/dictionary.cpp:71-76) with ONE full-width
+                masked LIGHT probe — RC minimizer scan + the two dependent
+                gathers (MPHF pilot, fused row with candidates 0-1 + heavy
+                in-row), none of the pair-sweep compaction machinery. The
+                size>=3 tail of RC buckets (~0.1% of lanes at sane m) falls
+                to a narrow compacted window. Replaces the B/2-wide
+                windowed second pass whose width was paid in full at any
+                miss fraction. Disable via SSHASH_REG_DUAL_OFF=1."""
+                rc = P.revcomp_kmers(kmers32, cfg.k)
+                mv_r, mp_r = P.compute_minimizer(rc, cfg.k, cfg.m, magic)
+                r2 = lookup_with_info(cfg, arrs, rc, None, mv_r, mp_r, miss,
+                                      fields, probe_light=True)
+                unresolved = r2.pop("unresolved")
+                merged = _merge(r, r2, miss & r2["found"], miss)
+                merged["minimizer_found"] = jnp.where(
+                    miss, r["minimizer_found"] | r2["minimizer_found"],
+                    r["minimizer_found"])
+                merged["kmer_orientation"] = jnp.where(
+                    miss, I32(BACKWARD_ORIENTATION),
+                    merged["kmer_orientation"])
+                left = miss & unresolved & ~r2["found"]
+                Wf2 = max(128, B // cfg.pair_div)
+
+                def leftovers(rr):
+                    rank = P.prefix_sum_ex(left.astype(I32))
+                    lane_ids = jnp.zeros((B,), dtype=I32).at[
+                        jnp.where(left, rank, B)].set(lane, mode="drop")
+                    total = rank[-1] + left[-1].astype(I32)
+                    nw = (total + Wf2 - 1) // Wf2
+                    _, out = jax.lax.while_loop(
+                        lambda c: c[0] < nw,
+                        lambda c: (c[0] + 1, fb_window(c[0], c[1], lane_ids,
+                                                       total, Wf2)),
+                        (jnp.int32(0), rr))
+                    return out
+
+                return jax.lax.cond(left.any(), leftovers, lambda x: x,
+                                    merged)
+
+            if cfg.reg_dual:
+                res = jax.lax.cond(n_miss > 0, dual, lambda r: r, res)
+            else:
+                res = jax.lax.cond(
+                    n_miss > 0,
+                    lambda r: jax.lax.cond(n_miss > (B * 5) // 8, full_width,
+                                           windowed, r),
+                    lambda r: r,
+                    res)
         return res
 
     return fn

@@ -107,8 +107,13 @@ class Index:
     # ------------------------------------------------------------ num_bits
 
     def num_bits(self):
-        """Reference-format space accounting (compact widths), used by
-        print_space_breakdown for parity with src/info.cpp."""
+        """Reference-FORMAT space accounting (hypothetical compact widths,
+        for parity with src/info.cpp / the published build logs). Two named
+        approximations: string offsets use an Elias-Fano ESTIMATE
+        (2 + ceil(log2(avg gap)) bits/endpoint) and skew positions assume
+        32-bit entries. For the honest single number — the bits actually
+        held in host RAM — use :meth:`num_bits_actual`;
+        info.print_space_breakdown prints both columns side by side."""
         nbo = self.stats.get("num_bits_per_offset", 64)
         nbc = self.stats.get("num_bits_for_control", 64)
         bits = 0
@@ -126,6 +131,14 @@ class Index:
         if self.weights is not None:
             bits += self.weights.num_bits()
         return bits
+
+    def num_bits_actual(self):
+        """Bits actually held in host RAM (dense arrays counted dense,
+        CompactVectors at their real width) — the honest single-number
+        companion to the reference-format :meth:`num_bits`."""
+        from .info import actual_space_breakdown
+
+        return sum(actual_space_breakdown(self).values())
 
     # ------------------------------------------------------------ save / load
 

@@ -192,7 +192,10 @@ def compute_minimizer(kmers32, k, m, magic):
     backend at k63 window counts once fused into the full lookup kernel."""
     B = kmers32.shape[0]
     nw = k - m + 1
-    if nw > 24:
+    import os
+
+    force_tree = os.environ.get("SSHASH_TREE_MIN", "") not in ("", "0")
+    if nw > 24 or force_tree:
         items = []
         for j in range(nw):
             v = extract_window(kmers32, 2 * j, 2 * m)
@@ -262,8 +265,16 @@ def compute_minimizer_two_strand(kmers32, kmers_rc32, k, m, magic):
     window counts and falls back to two passes for long ones (the 40+-step
     dual dependency chain of the fused form triggers pathological XLA
     compile times at k>~55)."""
-    if k - m + 1 <= 24:
+    import os
+
+    force_tree = os.environ.get("SSHASH_TREE_MIN", "") not in ("", "0")
+    if k - m + 1 <= 24 and not force_tree:
         return compute_minimizer_both(kmers32, k, m, magic)
+    # SSHASH_TREE_MIN=1 forces the reassociation-safe tournament tree on
+    # short scans too (toolchain-proofing knob: the linear chain is
+    # empirically sound at k31 but MISCOMPILED at k63 window counts on the
+    # TPU backend — the bench canary asserts it stays sound; see
+    # BENCH_NOTES k63 section)
     mv_f, mp_f = compute_minimizer(kmers32, k, m, magic)
     mv_r, mp_r = compute_minimizer(kmers_rc32, k, m, magic)
     return mv_f, mp_f, mv_r, mp_r

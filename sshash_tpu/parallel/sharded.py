@@ -523,14 +523,28 @@ class ShardedEngine:
     replicated. Results come back sharded over data, replicated over bucket.
     """
 
-    def __init__(self, index, mesh=None):
+    def __init__(self, index, mesh=None, host_arrs=None):
         self.index = index
         self.mesh = mesh if mesh is not None else make_mesh()
         self.cfg = StaticCfg(index)
         data_axis, bucket_axis = self.mesh.axis_names
         nb = self.mesh.shape[bucket_axis]
 
-        host = _device_arrays(index)
+        # host_arrs: a precomputed _device_arrays(index) pytree (e.g. the
+        # mmapped .arrs cache of a multi-GB index,
+        # scripts/cache_device_arrays.py); the shard transforms below copy
+        # what they rewrite, so mmapped inputs stay on disk
+        if host_arrs is not None:
+            from ..engine import row_width
+
+            if host_arrs["cw_row"].shape[1] != row_width(self.cfg):
+                raise ValueError(
+                    f"stale host_arrs cache: cw_row has "
+                    f"{host_arrs['cw_row'].shape[1]} columns, this engine "
+                    f"expects {row_width(self.cfg)}")
+            host = dict(host_arrs)
+        else:
+            host = _device_arrays(index)
         n_cw = len(host["cw_row"])
         per_shard = -(-n_cw // nb)
         padded = np.zeros((per_shard * nb, host["cw_row"].shape[1]),

@@ -823,7 +823,15 @@ class _DeviceStream:
         """Dispatch one chunk: pack all per-chunk inputs into ONE uint32
         upload (each separate transfer pays a ~40ms tunnel round trip).
         All-valid chunks (clean ACGT data — the common case) skip the valid
-        mask region entirely; the device derives it from count."""
+        mask region entirely; the device derives it from count.
+
+        With the upload pipeline (SSHASH_STREAM_PIPELINE, default on) the
+        upload + dispatch run on a single-worker thread so the HOST work of
+        chunk n+1 (file parse + native encode) overlaps the TRANSFER of
+        chunk n — on slow host->device links the serial
+        encode->upload->dispatch chain was the end-to-end wall (round-5
+        VERDICT ask #3a). A 3-slot semaphore bounds buffered chunks; the
+        single worker preserves chunk order for the carry stitch."""
         if int(np.bitwise_count(valid_bits).sum()) == int(count):
             buf = np.empty(self._o2 + self.CW, dtype=np.uint32)
             buf[self._o2:] = words32
@@ -837,6 +845,18 @@ class _DeviceStream:
         buf[1] = nreads
         buf[2:self._o1] = rnpos
         buf[self._o1:self._o2] = rfirst
+        if self._pipe is not None and getattr(self, "_capture", None) is None:
+            self._pipe_slots.acquire()
+            jnp_ = self._jnp
+            eng_arrs = self.engine.arrs
+
+            def run(buf=buf, fn=fn):
+                try:
+                    return fn(eng_arrs, jnp_.asarray(buf))
+                finally:
+                    self._pipe_slots.release()
+
+            return self._pipe.submit(run)
         jbuf = self._jnp.asarray(buf)
         if getattr(self, "_capture", None) is not None:
             # profiling hook: record (compiled fn, device-resident buffer)
@@ -888,6 +908,18 @@ class _DeviceStream:
         self._carry = None
         self._inflight = []  # queued (device outputs, starts_fresh) per chunk
         self._no_ladder = False  # subclasses with fixed step shapes set True
+        # upload pipeline (see _step); ShardedStream overrides _step and
+        # never uses it
+        import os
+
+        self._pipe = None
+        if os.environ.get("SSHASH_STREAM_PIPELINE", "1") not in ("", "0"):
+            import threading
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pipe = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="sshash-upload")
+            self._pipe_slots = threading.Semaphore(3)
         self.report = dict.fromkeys(
             ["num_kmers", "num_positive_kmers", "num_negative_kmers",
              "num_invalid_kmers", "num_searches", "num_extensions"], 0)
@@ -1056,6 +1088,16 @@ class _DeviceStream:
     def finalize(self):
         self.flush()
         import jax
+
+        from concurrent.futures import Future
+
+        # resolve pipelined uploads to device outputs (order is list order,
+        # so the carry stitch is unaffected by completion order)
+        self._inflight = [(o.result() if isinstance(o, Future) else o, fresh)
+                          for o, fresh in self._inflight]
+        if self._pipe is not None:
+            self._pipe.shutdown(wait=True)
+            self._pipe = None
 
         if len(self._inflight) > 1 and all(
                 isinstance(o, jax.Array) for o, _ in self._inflight):

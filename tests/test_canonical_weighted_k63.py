@@ -5,6 +5,8 @@ import gzip
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from sshash_tpu import BuildConfig, Dictionary
 from sshash_tpu import kmer as K
 from tests.conftest import SE_K47, SE_K63, WEIGHTED_K31

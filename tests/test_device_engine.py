@@ -189,18 +189,25 @@ def test_skew_index_device_parity(rng):
         np.testing.assert_array_equal(gotn["kmer_id"], wantn["kmer_id"])
 
 
-def test_u32_ceiling_guard(dict_k31):
-    """A >= 2^32-char/kmer index must fail loudly at device load (uint32
-    offset space), not wrap silently."""
+def test_u32_ceiling_contract(dict_k31):
+    """Capacity contract (round 5): >= 2^32 chars auto-select the rebased
+    v2 row format (no failure — see tests/test_row_v2.py for bit-equality);
+    >= 2^32-1 kmers exceed uint32 ids + the INVALID sentinel and must fail
+    loudly, never wrap."""
     import dataclasses
 
     import pytest
 
-    from sshash_tpu.engine import DeviceEngine
+    from sshash_tpu.engine import StaticCfg, _device_arrays, use_row_v2
 
-    big = dataclasses.replace(dict_k31.index, num_chars=1 << 32)
-    with pytest.raises(ValueError, match="2\\^32"):
-        DeviceEngine(big)
+    big_chars = dataclasses.replace(dict_k31.index, num_chars=1 << 32)
+    assert use_row_v2(big_chars)
+    assert StaticCfg(big_chars).row_v2
+    assert not use_row_v2(dict_k31.index)
+
+    big_ids = dataclasses.replace(dict_k31.index, num_kmers=(1 << 32) - 1)
+    with pytest.raises(ValueError, match="uint32"):
+        _device_arrays(big_ids)
 
 
 def test_tie_retry_variant_matches(dict_k31_canonical, rng, monkeypatch):

@@ -13,8 +13,9 @@ from sshash_tpu import native
 from conftest import SE_K31
 from test_external_build import _assert_index_equal
 
-pytestmark = pytest.mark.skipif(not native.available(),
-                                reason="needs the native scanner")
+pytestmark = [pytest.mark.skipif(not native.available(),
+                                 reason="needs the native scanner"),
+              pytest.mark.slow]
 
 
 @pytest.mark.parametrize("canonical", [False, True])

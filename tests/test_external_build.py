@@ -4,6 +4,8 @@ spilling exercised, and the device engine answers from the result."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from sshash_tpu import BuildConfig, Dictionary
 from sshash_tpu.mphf import PartitionedMPHF
 

@@ -9,6 +9,8 @@ boundaries.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from sshash_tpu import BuildConfig, Dictionary
 from sshash_tpu import kmer as K
 from sshash_tpu import oracle

@@ -4,6 +4,9 @@ DCN). Each worker asserts sharded-lookup + streaming parity for its own
 rows (tests/multihost_worker.py); this driver only orchestrates."""
 
 import os
+import pytest
+
+pytestmark = pytest.mark.slow
 import socket
 import subprocess
 import sys

@@ -69,6 +69,26 @@ def test_wide_ids_bit_equal(dict_k31, rng, monkeypatch):
     assert np.array_equal(n3["kmer_id"], n1["kmer_id"])
 
 
+def test_no_c1_bit_equal(dict_k31_canonical, rng, monkeypatch):
+    """SSHASH_NO_C1 drops the candidate-1 row block (22 -> 12 u32; size-2
+    buckets ride the pair sweep) — the GB-scale HBM-locality experiment
+    format must stay bit-identical."""
+    idx = dict_k31_canonical.index
+    ids, km, neg = _pos_neg(idx, rng)
+    eng1 = DeviceEngine(idx)
+    r1, n1 = eng1.lookup(km), eng1.lookup(neg)
+    monkeypatch.setenv("SSHASH_NO_C1", "1")
+    eng2 = DeviceEngine(idx)
+    assert not eng2.cfg.c1_in_row
+    r2, n2 = eng2.lookup(km), eng2.lookup(neg)
+    for key in r1:
+        assert np.array_equal(r2[key], r1[key]), key
+    assert np.array_equal(n2["kmer_id"], n1["kmer_id"])
+    monkeypatch.setenv("SSHASH_ROW_V2", "1")
+    eng3 = DeviceEngine(idx)
+    assert np.array_equal(eng3.lookup(km)["kmer_id"], r1["kmer_id"])
+
+
 def test_v2_full_fields_raise(dict_k31, monkeypatch):
     monkeypatch.setenv("SSHASH_ROW_V2", "1")
     from sshash_tpu.engine import make_lookup

@@ -4,6 +4,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from sshash_tpu import kmer as K
 from sshash_tpu import oracle
 from sshash_tpu.constants import INVALID_UINT64

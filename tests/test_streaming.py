@@ -7,6 +7,8 @@ import gzip
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from sshash_tpu import kmer as K
 from sshash_tpu import oracle
 from sshash_tpu.constants import FORWARD_ORIENTATION, INVALID_UINT64
