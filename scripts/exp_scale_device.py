@@ -101,7 +101,7 @@ def main():
                       "sec": round(time.perf_counter() - t0, 1),
                       "device_bytes": dev_bytes}), flush=True)
 
-    B = 1 << 22
+    B = int(os.environ.get("SSHASH_SCALE_B", 1 << 22))
     rng = np.random.default_rng(7)
     if "lookup" not in axes:
         print(json.dumps({"exp": "scale_lookup_m21", "skipped": True}),

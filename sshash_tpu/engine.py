@@ -546,7 +546,11 @@ class StaticCfg:
                         one window covers any <=50%-RC workload)
       SSHASH_TIE_RETRY  =1 forces the canonical tie retry as a cond'd probe
                         instead of the in-probe position-try fold
-      SSHASH_STREAM_WDIV streaming fallback window = P/div (default 64)
+      SSHASH_STREAM_WDIV streaming low-hit fallback window = P/div (64)
+      SSHASH_STREAM_CDIV streaming corr-window capacity = P/div (64); the
+                        fast-path miss-count threshold tracks it
+      SSHASH_STREAM_PIPELINE =0 disables the host->device upload pipeline
+                        thread (streaming._DeviceStream)
       SSHASH_ROW_V2     =1 forces rebased rows on small indexes (see
                         use_row_v2)
       SSHASH_WIDE_IDS   =1 forces the 2-column pair scatter (auto for
@@ -565,6 +569,7 @@ class StaticCfg:
         self.fb_div = _env_int("SSHASH_FB_DIV", 2)
         self.tie_retry = _env_flag("SSHASH_TIE_RETRY")
         self.stream_wdiv = _env_int("SSHASH_STREAM_WDIV", 64)
+        self.stream_cdiv = _env_int("SSHASH_STREAM_CDIV", 64)
         self.row_v2 = use_row_v2(index)
         self.quad_w = 3 if self.row_v2 else 4
         # ids >= 2^31 don't fit the packed single-column pair scatter
@@ -572,6 +577,7 @@ class StaticCfg:
                          or _env_flag("SSHASH_WIDE_IDS"))
         self.reg_dual = not _env_flag("SSHASH_REG_DUAL_OFF")
         self.c1_in_row = not _env_flag("SSHASH_NO_C1")
+        self.num_chars = int(index.num_chars)
         # fused-row geometry: each codeword row carries the packed-string
         # window around candidate 0 (chars [16*(max(0,cand0-(k-m))>>4),
         # cand0+k)) plus the valid-start bits for its k-m+1 possible kmer
@@ -1275,6 +1281,17 @@ def make_access(cfg):
     windowed = _acc_windowed(cfg.k, cfg.access_C)
 
     def fn(arrs, ids):
+        if not windowed and getattr(cfg, "num_chars", 0) >= 1 << 32:
+            # the 2-round fallback gathers strings32 at a uint32 char
+            # offset, which wraps past 2^32 chars; the windowed form is
+            # char-safe (offsets resolve against row-resident data) but
+            # this geometry (wide k / fragmented strings) fell outside its
+            # row-width gate. Raise at first use, not engine construction
+            # — lookups on such an index still serve.
+            raise ValueError(
+                f"access at {cfg.num_chars} chars needs the windowed row "
+                f"form, but k={cfg.k}, C={cfg.access_C} exceeds its width "
+                f"gate; shard into < 2^32-char sub-indexes")
         row = jnp.take(arrs["acc_rows"], (ids >> U32(5)).astype(I32),
                        axis=0, mode="clip")
         sid, off = _acc_resolve(cfg, row, ids)

@@ -438,8 +438,9 @@ def make_stream_step(cfg, lookup, P_, R_, swin=None, debug_stage=None,
         # fallback lane pays a full lookup, so window PADDING waste matters
         # as much as per-window fixed passes: P/8 windows measured WORSE
         # than P/64 (last window ~97% padding on a ~13%-heads chunk).
-        # Knob: StaticCfg.stream_wdiv (env SSHASH_STREAM_WDIV override).
+        # Knobs: StaticCfg.stream_wdiv / stream_cdiv (env override).
         Wp = max(4096, P_ // getattr(cfg, "stream_wdiv", 64))
+        Wc_corr = max(1024, P_ // getattr(cfg, "stream_cdiv", 64))
         wide = getattr(cfg, "wide_ids", False)
 
         def pk_pack(kid, ori):
@@ -635,8 +636,10 @@ def make_stream_step(cfg, lookup, P_, R_, swin=None, debug_stage=None,
             fast-path counters at the miss lanes. No P-wide transpose /
             prefix-sum / scatter / gather runs on this branch — those
             were the +44 ns/pos of the general path
-            (scripts/profile_stream_stages.py)."""
-            Wc = P_ // 64
+            (scripts/profile_stream_stages.py). Window capacity knob:
+            StaticCfg.stream_cdiv / SSHASH_STREAM_CDIV (the miss-count
+            threshold below tracks it)."""
+            Wc = Wc_corr
             mhalf = (matched.astype(U32j) << t).sum(axis=0)  # (A,) packed
             needh = vhalf & ~mhalf
             pcn = pc16(needh).astype(I32)
@@ -747,7 +750,7 @@ def make_stream_step(cfg, lookup, P_, R_, swin=None, debug_stage=None,
         n_miss = miss.sum()
 
         def derive_miss(_):
-            return jax.lax.cond(n_miss > P_ // 64, derive_full, derive_corr,
+            return jax.lax.cond(n_miss > Wc_corr, derive_full, derive_corr,
                                 jnp.int32(0))
 
         # one (3, 4) output array: the host folds a chunk with a SINGLE
