@@ -7,15 +7,21 @@
 #     miscompile cannot silently regress k31 without failing the bench);
 #   * step 5 re-asserts the same with the tournament tree FORCED, pinning
 #     chain == tree on the chip this session.
-set -e
 cd "$(dirname "$0")/.."
 LOG=${LOG:-/tmp/r5_session.jsonl}
 echo "== r5 TPU session -> $LOG"
 
-run() { echo "== $*" | tee -a "$LOG"; "$@" 2>&1 | tee -a "$LOG"; }
+# steps are independent measurements: a timeout/failure in one must not
+# abort the rest — record the exit code and continue
+run() {
+  echo "== $*" | tee -a "$LOG"
+  "$@" 2>&1 | tee -a "$LOG"
+  echo "== exit=${PIPESTATUS[0]}" | tee -a "$LOG"
+}
 
-# 1. driver bench (headline + nested 200M scale rows + low-hit kernel row)
-run timeout 3000 python bench.py
+# 1. driver bench (headline + nested 200M scale rows + low-hit kernel row);
+#    the scale rows upload ~7 GB over the ~28 MB/s tunnel — budget for it
+run timeout 4500 python bench.py
 
 # 2. row-format A/B at 200M canonical (the human-config >=10x push):
 #    v1 (22-word rows, the .arrs default), v2 (20), no-c1 (12), v2+no-c1 (11)
@@ -39,6 +45,6 @@ run env SSHASH_STREAM_PIPELINE=0 timeout 1800 python scripts/exp_scale_device.py
 
 # 5. tournament tree vs linear chain at k31 (toolchain-proofing cost row);
 #    the assert inside bench.py re-runs under the forced tree
-run env SSHASH_TREE_MIN=1 timeout 3000 python bench.py
+run env SSHASH_TREE_MIN=1 timeout 4500 python bench.py
 
 echo "== session done; fold results into BENCH_NOTES.md"
