@@ -58,7 +58,7 @@ def _bench_lookup(eng, kmers32, B):
     return B / _time_reduced(reduced, eng.arrs, kmers32)
 
 
-def _bench_scale(B=1 << 22):
+def _bench_scale(B=1 << 23):
     """200M-kmer (human-config k31 m21) rows from the cached scale indexes
     (built by scripts/build_scale_index.py). Regressions at GB scale get a
     driver-visible tripwire (VERDICT r4 weak #5); returns a nested dict for
@@ -73,6 +73,20 @@ def _bench_scale(B=1 << 22):
     from sshash_tpu import oracle
     from sshash_tpu.engine import DeviceEngine, StaticCfg, row_width
     from sshash_tpu.index import Index
+
+    # upload-health probe: the scale rows ship ~3.4-3.8 GB tables; on a
+    # degraded tunnel (observed r5) the large-transfer path stalls while
+    # small transfers flow. 32 MB must clear in 90 s (healthy: ~1-3 s) or
+    # the multi-GB upload would take hours — skip rather than hang.
+    probe = jnp.asarray(np.zeros(8 << 20, np.uint32))
+    t0 = time.perf_counter()
+    np.asarray(jax.device_put(probe)[:1])
+    probe_s = time.perf_counter() - t0
+    del probe
+    if probe_s > 90:
+        raise TimeoutError(
+            f"32 MB upload probe took {probe_s:.0f}s — tunnel too degraded "
+            f"for the multi-GB scale tables, skipping scale rows")
 
     out = {}
     rng = np.random.default_rng(11)
@@ -269,12 +283,26 @@ def main():
               file=sys.stderr)
 
     # 200M-kmer human-config scale rows (nested; present when the cached
-    # scale indexes exist — scripts/build_scale_index.py)
+    # scale indexes exist — scripts/build_scale_index.py). SIGALRM watchdog:
+    # a degraded tunnel can HANG the multi-GB table upload indefinitely
+    # (observed r5: large-transfer path stalls while small transfers flow)
+    # — a hang here must not eat the headline line 1 either.
     scale = None
+    import signal
+
+    def _scale_timeout(signum, frame):
+        raise TimeoutError("scale-row upload/measure watchdog expired")
+
+    old = signal.signal(signal.SIGALRM, _scale_timeout)
+    signal.alarm(int(__import__("os").environ.get("SSHASH_SCALE_WATCHDOG",
+                                                  "2400")))
     try:
         scale = _bench_scale()
     except Exception as e:  # noqa: BLE001
         print(f"scale bench failed: {type(e).__name__}: {e}", file=sys.stderr)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
     best_mode = max(rates, key=rates.get)
     value = rates[best_mode]

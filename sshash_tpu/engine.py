@@ -91,6 +91,27 @@ def use_row_v2(index):
     return index.num_chars >= 1 << 32 or _env_flag("SSHASH_ROW_V2")
 
 
+def use_c1(index):
+    """Carry candidate 1 in the fused row? It pays cand_block_width u32/row
+    for a gather-free second probe — a win when size>=2 buckets are common
+    (salmonella m17: ~14% of buckets) and pure row bloat at human-config m
+    (m21: 99.998% singletons; the round-5 200M A/B measured 12-col no-c1
+    rows FASTER, 60.8 vs 62.0 ns, at ~45% fewer hot bytes — BENCH_NOTES).
+    Gate on the index's own bucket histogram: keep c1 when >= 1% of buckets
+    hold 2+ positions; indexes without a histogram (pre-round-3 files) keep
+    it for compatibility. SSHASH_C1=1 forces on, SSHASH_NO_C1=1 forces off."""
+    if _env_flag("SSHASH_NO_C1"):
+        return False
+    if _env_flag("SSHASH_C1"):
+        return True
+    hist = index.stats.get("bucket_size_histogram") or {}
+    nmini = int(index.stats.get("num_minimizers", 0))
+    singles = int(hist.get("1", hist.get(1, 0)))
+    if not (nmini and hist):
+        return True
+    return (1.0 - singles / nmini) >= 0.01
+
+
 def row_width(cfg):
     """Fused cw_row width in u32 words: [status|b, a] + 1 or 2 candidate
     blocks, each [ext_off, vbits, window, resolve quad]. SSHASH_NO_C1=1
@@ -315,7 +336,7 @@ def _device_arrays(index):
     cols = [sb, a.astype(np.uint32)] \
         + [c0rows[:, i] for i in range(c0rows.shape[1])]
     c1rows = None
-    if not _env_flag("SSHASH_NO_C1"):
+    if use_c1(index):
         has2 = midm & (b >= 2)
         cand1 = np.zeros_like(cand0)
         if len(mid_arr):
@@ -576,7 +597,7 @@ class StaticCfg:
         self.wide_ids = (index.num_kmers >= 1 << 31
                          or _env_flag("SSHASH_WIDE_IDS"))
         self.reg_dual = not _env_flag("SSHASH_REG_DUAL_OFF")
-        self.c1_in_row = not _env_flag("SSHASH_NO_C1")
+        self.c1_in_row = use_c1(index)
         self.num_chars = int(index.num_chars)
         # fused-row geometry: each codeword row carries the packed-string
         # window around candidate 0 (chars [16*(max(0,cand0-(k-m))>>4),

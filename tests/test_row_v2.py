@@ -89,6 +89,68 @@ def test_no_c1_bit_equal(dict_k31_canonical, rng, monkeypatch):
     assert np.array_equal(eng3.lookup(km)["kmer_id"], r1["kmer_id"])
 
 
+def test_c1_auto_gate(dict_k31_canonical, rng):
+    """use_c1 gates the candidate-1 row block on the index's own bucket
+    histogram (round 5): human-config m builds are ~99.998% singleton
+    buckets, where the block is pure row bloat (measured slower at 200M,
+    BENCH_NOTES round-5 A/B). An all-singleton histogram must auto-drop
+    the block and stay bit-identical — size-2 buckets ride the pair sweep."""
+    from sshash_tpu.engine import use_c1
+
+    idx = dict_k31_canonical.index
+    hist = idx.stats.get("bucket_size_histogram") or {}
+    nmini = int(idx.stats.get("num_minimizers", 0))
+    assert hist and nmini, "fixture index must record a bucket histogram"
+    # the m13 salmonella-style fixture has a fat multi-bucket tail
+    assert use_c1(idx)
+
+    ids, km, neg = _pos_neg(idx, rng)
+    eng1 = DeviceEngine(idx)
+    r1, n1 = eng1.lookup(km), eng1.lookup(neg)
+    assert eng1.cfg.c1_in_row
+
+    # fabricate a human-config histogram (>99% singletons): the histogram
+    # only selects the row FORMAT, never the semantics, so lookups through
+    # the auto-narrowed rows must match bit for bit
+    stats2 = dict(idx.stats)
+    stats2["bucket_size_histogram"] = {"1": nmini}
+    idx2 = dataclasses.replace(idx, stats=stats2)
+    assert not use_c1(idx2)
+    eng2 = DeviceEngine(idx2)
+    assert not eng2.cfg.c1_in_row
+    from sshash_tpu.engine import cand_block_width, row_width
+
+    assert row_width(eng2.cfg) == 2 + cand_block_width(eng2.cfg)
+    r2, n2 = eng2.lookup(km), eng2.lookup(neg)
+    for key in r1:
+        assert np.array_equal(r2[key], r1[key]), key
+    assert np.array_equal(n2["kmer_id"], n1["kmer_id"])
+
+
+def test_c1_auto_gate_regular(dict_k31, rng):
+    """Regular mode under the auto-dropped candidate-1 block: the fused
+    dual-strand LIGHT probe marks size>1 buckets unresolved when c1 is off
+    (jmin drops 2 -> 1) and the compacted fallback must still resolve them
+    bit-exactly."""
+    from sshash_tpu.engine import use_c1
+
+    idx = dict_k31.index
+    ids, km, neg = _pos_neg(idx, rng)
+    eng1 = DeviceEngine(idx)
+    r1, n1 = eng1.lookup(km), eng1.lookup(neg)
+
+    stats2 = dict(idx.stats)
+    stats2["bucket_size_histogram"] = {"1": int(idx.stats["num_minimizers"])}
+    idx2 = dataclasses.replace(idx, stats=stats2)
+    assert not use_c1(idx2)
+    eng2 = DeviceEngine(idx2)
+    assert eng2.cfg.reg_dual and not eng2.cfg.c1_in_row
+    r2, n2 = eng2.lookup(km), eng2.lookup(neg)
+    for key in r1:
+        assert np.array_equal(r2[key], r1[key]), key
+    assert np.array_equal(n2["kmer_id"], n1["kmer_id"])
+
+
 def test_v2_full_fields_raise(dict_k31, monkeypatch):
     monkeypatch.setenv("SSHASH_ROW_V2", "1")
     from sshash_tpu.engine import make_lookup
