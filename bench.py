@@ -58,11 +58,15 @@ def _bench_lookup(eng, kmers32, B):
     return B / _time_reduced(reduced, eng.arrs, kmers32)
 
 
-def _bench_scale(B=1 << 23):
+def _bench_scale(B=1 << 24):
     """200M-kmer (human-config k31 m21) rows from the cached scale indexes
     (built by scripts/build_scale_index.py). Regressions at GB scale get a
     driver-visible tripwire (VERDICT r4 weak #5); returns a nested dict for
-    the single bench JSON line, or None when no cache is present."""
+    the single bench JSON line, or None when no cache is present.
+
+    B sweep at 200M canonical (r5c): div64 B4M/8M/16M = 62.5/59.4/61.3 ns,
+    div512 (the singleton-rich auto-default) B8M/16M = 58.8/58.5 — narrow
+    pair windows make the larger batch's amortization win."""
     import gc
     import os
 

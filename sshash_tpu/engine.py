@@ -586,7 +586,14 @@ class StaticCfg:
         self.m = index.m
         self.canonical = index.canonical
         self.W = P.num_words32(index.k)
-        self.pair_div = _env_int("SSHASH_PAIR_DIV", 64)
+        # pair-sweep window = B/pair_div: the window should be sized to the
+        # lanes that actually need a sweep. Multi-rich buckets (c1 kept —
+        # salmonella m17) measured div 64 optimal; singleton-rich indexes
+        # (c1 auto-dropped — human-config m21) have a ~0.003% sweep tail
+        # and narrow windows win: div 512 = 58.8 vs div 64 = 59.4 ns at
+        # 200M canonical (round-5 sweep, BENCH_NOTES).
+        self.pair_div = _env_int("SSHASH_PAIR_DIV",
+                                 64 if use_c1(index) else 512)
         self.fb_div = _env_int("SSHASH_FB_DIV", 2)
         self.tie_retry = _env_flag("SSHASH_TIE_RETRY")
         self.stream_wdiv = _env_int("SSHASH_STREAM_WDIV", 64)
